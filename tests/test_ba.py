@@ -1,0 +1,144 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from xrsfm_tpu.optim.ba import BAProblem, BAOptions, solve_ba, _residuals_only
+from xrsfm_tpu.utils import camera as C
+from xrsfm_tpu.utils import geometry as G
+from synthetic import make_scene
+
+
+def build_problem(n_cams=6, n_pts=120, noise_px=0.3, seed=0, drop=0.0):
+    s = make_scene(n_cams=n_cams, n_pts=n_pts, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    f, cx, cy = 500.0, 320.0, 240.0
+    intri = np.tile(
+        C.canonicalize_params(C.PINHOLE, [f, f, cx, cy]), (n_cams, 1)
+    ).astype(np.float32)
+
+    uv_px = s["uv"] * f + np.array([cx, cy], np.float32)
+    uv_px += rng.normal(scale=noise_px, size=uv_px.shape)
+
+    cam_idx = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    pt_idx = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    obs_uv = uv_px.reshape(-1, 2).astype(np.float32)
+    obs_w = np.ones(len(cam_idx), np.float32)
+    if drop > 0:
+        obs_w *= (rng.uniform(size=len(cam_idx)) > drop).astype(np.float32)
+
+    fix_cam = np.zeros(n_cams, bool)
+    fix_cam[0] = True  # gauge: freeze first camera
+    fix_trans = np.zeros(n_cams, bool)
+    fix_trans[1] = True  # and second translation (scale gauge)
+
+    return (
+        BAProblem(
+            cam_q=jnp.asarray(s["q"]),
+            cam_t=jnp.asarray(s["t"]),
+            cam_intri=jnp.asarray(intri),
+            points=jnp.asarray(s["xyz"]),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_cam=jnp.asarray(cam_idx),
+            obs_pt=jnp.asarray(pt_idx),
+            obs_w=jnp.asarray(obs_w),
+            fix_cam=jnp.asarray(fix_cam),
+            fix_trans=jnp.asarray(fix_trans),
+            fix_pt=jnp.zeros(n_pts, bool),
+        ),
+        s,
+    )
+
+
+def perturb(p: BAProblem, scale_rot=0.02, scale_t=0.05, scale_pt=0.05, seed=1):
+    rng = np.random.default_rng(seed)
+    n_cams = p.cam_q.shape[0]
+    delta = np.concatenate(
+        [
+            rng.normal(scale=scale_rot, size=(n_cams, 3)),
+            rng.normal(scale=scale_t, size=(n_cams, 3)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    delta[0] = 0  # keep gauge frames clean
+    delta[1, 3:] = 0  # cam1 translation is a frozen gauge anchor
+    q2, t2 = G.pose_retract(p.cam_q, p.cam_t, jnp.asarray(delta))
+    pts2 = p.points + jnp.asarray(
+        rng.normal(scale=scale_pt, size=p.points.shape).astype(np.float32)
+    )
+    return dataclasses.replace(p, cam_q=q2, cam_t=t2, points=pts2)
+
+
+def rms_px(p: BAProblem):
+    r, z = _residuals_only(p)
+    m = p.obs_w > 0
+    return float(
+        jnp.sqrt(jnp.sum(jnp.sum(r * r, -1) * m) / jnp.maximum(jnp.sum(m), 1))
+    )
+
+
+def test_ba_reduces_cost_to_noise_floor():
+    p0, s = build_problem(noise_px=0.3)
+    p_bad = perturb(p0)
+    assert rms_px(p_bad) > 5.0
+    p_opt, info = solve_ba(p_bad, BAOptions(max_iters=25, huber_px=4.0))
+    final_rms = rms_px(p_opt)
+    # noise floor is ~0.3*sqrt(2) px
+    assert final_rms < 0.6, f"rms {final_rms}"
+    assert float(info["final_cost"]) < float(info["initial_cost"]) * 0.01
+
+
+def test_ba_noiseless_exact_recovery():
+    p0, s = build_problem(noise_px=0.0, seed=3)
+    p_bad = perturb(p0, seed=4)
+    p_opt, _ = solve_ba(p_bad, BAOptions(max_iters=30, huber_px=4.0))
+    assert rms_px(p_opt) < 1e-2
+    # camera centers should match GT (gauge is fully pinned by cam0 pose +
+    # cam1 translation)
+    c_gt = G.pose_center(p0.cam_q, p0.cam_t)
+    c_opt = G.pose_center(p_opt.cam_q, p_opt.cam_t)
+    np.testing.assert_allclose(c_opt, c_gt, atol=2e-2)
+
+
+def test_ba_respects_gauge_fixing():
+    p0, _ = build_problem(noise_px=0.2, seed=5)
+    p_bad = perturb(p0, seed=6)
+    p_opt, _ = solve_ba(p_bad, BAOptions(max_iters=10))
+    np.testing.assert_allclose(p_opt.cam_q[0], p_bad.cam_q[0], atol=1e-7)
+    np.testing.assert_allclose(p_opt.cam_t[0], p_bad.cam_t[0], atol=1e-7)
+    np.testing.assert_allclose(p_opt.cam_t[1], p_bad.cam_t[1], atol=1e-7)
+
+
+def test_ba_fixed_points_triangulation_mode():
+    # all cameras fixed, optimize points only (run_triangulation's GBA mode)
+    p0, _ = build_problem(noise_px=0.0, seed=7)
+    rng = np.random.default_rng(8)
+    pts_bad = p0.points + jnp.asarray(
+        rng.normal(scale=0.1, size=p0.points.shape).astype(np.float32)
+    )
+    p_bad = dataclasses.replace(
+        p0,
+        points=pts_bad,
+        fix_cam=jnp.ones(p0.cam_q.shape[0], bool),
+    )
+    p_opt, _ = solve_ba(p_bad, BAOptions(max_iters=15))
+    np.testing.assert_allclose(p_opt.cam_q, p0.cam_q, atol=1e-7)
+    np.testing.assert_allclose(p_opt.points, p0.points, atol=1e-2)
+
+
+def test_ba_robust_to_outliers():
+    p0, _ = build_problem(noise_px=0.3, seed=9)
+    # corrupt 10% of observations
+    rng = np.random.default_rng(10)
+    uv = np.array(p0.obs_uv)
+    n = len(uv)
+    bad = rng.uniform(size=n) < 0.1
+    uv[bad] += rng.uniform(30, 120, size=(bad.sum(), 2))
+    p0 = dataclasses.replace(p0, obs_uv=jnp.asarray(uv))
+    p_bad = perturb(p0, seed=11)
+    p_opt, _ = solve_ba(p_bad, BAOptions(max_iters=25, huber_px=2.0))
+    r, _ = _residuals_only(p_opt)
+    rn = np.sqrt(np.sum(np.asarray(r) ** 2, -1))
+    # inlier residuals should sit at the noise floor despite the outliers
+    med = np.median(rn[~bad])
+    assert med < 0.8, med

@@ -1,0 +1,220 @@
+"""Batched two-view epipolar geometry: F / E estimation and decomposition.
+
+TPU-native equivalents of the reference's estimators:
+  * 7-point / 8-point fundamental matrix
+    (reference: src/geometry/colmap/estimators/fundamental_matrix.cc:48-199)
+  * Sampson error (reference: essential.cc:283-290, fundamental_matrix.cc:202-230)
+  * essential matrix estimation + decomposition + cheirality
+    (reference: src/geometry/essential.cc:221-487)
+
+Design notes (TPU-first):
+  * nullspaces come from eigh(A^T A) — symmetric eig is TPU-supported,
+    general SVD of tall skinny matrices lowers poorly;
+  * the 7-point cubic det constraint is recovered branch-free by evaluating
+    det(a*F1 + (1-a)*F2) at 4 points and inverting a fixed Vandermonde
+    (exact for a cubic), then rooted with the batched Durand-Kerner
+    iteration in ops/poly.py — no companion-matrix eig needed;
+  * the RANSAC hypothesis path estimates E with the 8-point algorithm on
+    normalized coordinates followed by projection onto the essential
+    manifold; a Nister 5-point minimal solver is planned on the same
+    harness (the reference uses 5pt, essential.cc:292-304 — 8pt+manifold
+    projection with a large vectorized hypothesis batch reaches the same
+    inlier sets on calibrated data).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import poly
+from ..utils import geometry as G
+
+
+def _hom(x):
+    return jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+
+
+def sampson_error(F: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Squared Sampson distance.  F [..., 3, 3]; x1, x2 [..., N, 2]
+    (x2^T F x1 convention: x1 in image 1, x2 in image 2)."""
+    p1 = _hom(x1)
+    p2 = _hom(x2)
+    Fx1 = jnp.einsum("...ij,...nj->...ni", F, p1)
+    Ftx2 = jnp.einsum("...ji,...nj->...ni", F, p2)
+    num = jnp.sum(p2 * Fx1, axis=-1) ** 2
+    den = (
+        Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+def epipolar_residual(F, x1, x2):
+    """Symmetric squared epipolar line distance (COLMAP's F residual)."""
+    return sampson_error(F, x1, x2)
+
+
+def normalize_points(x: jax.Array, mask: jax.Array):
+    """Hartley normalization: centroid 0, mean distance sqrt(2).
+
+    x [N, 2], mask [N] -> (T [3,3], xn [N,2]).
+    (reference: CenterAndNormalizeImagePoints,
+    src/geometry/colmap/estimators/utils.cc)."""
+    w = mask.astype(x.dtype)
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(x * w[:, None], axis=0) / cnt
+    d = jnp.linalg.norm((x - mean) * w[:, None], axis=-1)
+    md = jnp.sum(d) / cnt
+    s = jnp.sqrt(2.0) / jnp.maximum(md, 1e-9)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], x.dtype)
+    T = T.at[0, 0].set(s).at[1, 1].set(s)
+    T = T.at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return T, (x - mean) * s
+
+
+def _epipolar_nullspace(x1, x2, weights, num_vecs: int):
+    """Eigenvectors of A^T A for the epipolar constraint rows.
+
+    x1, x2 [N, 2]; weights [N].  Returns [9, num_vecs] (ascending eigvalue).
+    """
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    ones = jnp.ones_like(u1)
+    # row ordering: x2^T F x1 with F row-major
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
+    )
+    A = A * weights[:, None]
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    return vecs[:, :num_vecs]
+
+
+def fundamental_8pt(x1, x2, mask):
+    """Normalized 8-point algorithm.  x1, x2 [N, 2] pixels, mask [N].
+    Returns (F [3,3], valid scalar bool).
+    (reference: FundamentalMatrixEightPointEstimator,
+    colmap/estimators/fundamental_matrix.cc:151-199)."""
+    T1, xn1 = normalize_points(x1, mask)
+    T2, xn2 = normalize_points(x2, mask)
+    w = mask.astype(x1.dtype)
+    f = _epipolar_nullspace(xn1, xn2, w, 1)[:, 0]
+    F = f.reshape(3, 3)
+    # rank-2 projection
+    U, s, Vt = jnp.linalg.svd(F)
+    F = (U * jnp.array([s[0], s[1], 0.0])[None, :]) @ Vt
+    F = T2.T @ F @ T1
+    nrm = F[2, 2]
+    scale = jnp.where(jnp.abs(nrm) > 1e-9, nrm, jnp.linalg.norm(F) + 1e-12)
+    F = F / scale
+    valid = jnp.sum(mask) >= 8
+    return F, valid
+
+
+def fundamental_7pt(x1, x2, mask):
+    """7-point algorithm: up to 3 solutions of the cubic det constraint.
+
+    x1, x2 [7, 2] (or [N,2] with exactly-7 semantics), mask [N].
+    Returns (F [3, 3, 3], valid [3]).
+    (reference: FundamentalMatrixSevenPointEstimator,
+    colmap/estimators/fundamental_matrix.cc:48-148)."""
+    T1, xn1 = normalize_points(x1, mask)
+    T2, xn2 = normalize_points(x2, mask)
+    w = mask.astype(x1.dtype)
+    basis = _epipolar_nullspace(xn1, xn2, w, 2)  # [9, 2]
+    F1 = basis[:, 0].reshape(3, 3)
+    F2 = basis[:, 1].reshape(3, 3)
+
+    # det(a F1 + (1 - a) F2) is cubic in a: sample at 4 nodes, interpolate.
+    nodes = jnp.array([0.0, 1.0, 2.0, 3.0], x1.dtype)
+    dets = jax.vmap(lambda a: jnp.linalg.det(a * F1 + (1 - a) * F2))(nodes)
+    # Vandermonde for coeffs [a^3, a^2, a, 1]
+    V = jnp.stack([nodes**3, nodes**2, nodes, jnp.ones_like(nodes)], axis=-1)
+    coeffs = jnp.linalg.solve(V, dets)
+    roots, rvalid = poly.real_roots(coeffs, imag_tol=1e-3)  # [3], [3]
+    Fs = roots[:, None, None] * F1[None] + (1 - roots[:, None, None]) * F2[None]
+    Fs = jnp.einsum("ji,njk,kl->nil", T2, Fs, T1)
+    nrm = jnp.linalg.norm(Fs, axis=(-2, -1), keepdims=True)
+    Fs = Fs / jnp.maximum(nrm, 1e-12)
+    valid = rvalid & (jnp.sum(mask) >= 7)
+    return Fs, valid
+
+
+def essential_8pt(x1, x2, mask):
+    """Essential matrix by the 8-point algorithm on *normalized camera
+    coordinates*, projected to the essential manifold (singular values
+    (s, s, 0)).  Returns (E [3,3], valid)."""
+    w = mask.astype(x1.dtype)
+    e = _epipolar_nullspace(x1, x2, w, 1)[:, 0]
+    E = e.reshape(3, 3)
+    U, s, Vt = jnp.linalg.svd(E)
+    sm = 0.5 * (s[0] + s[1])
+    E = (U * jnp.array([1.0, 1.0, 0.0])[None, :] * sm) @ Vt
+    E = E / jnp.maximum(jnp.linalg.norm(E), 1e-12)
+    valid = jnp.sum(mask) >= 8
+    return E, valid
+
+
+def essential_from_pose(q, t):
+    """E = [t]x R for relative pose T12 applied as x2 = R x1 + t...
+    Convention: if T2w = T_rel * T1w, then x2^T E x1 = 0 with
+    E = [t_rel]x R_rel."""
+    R = G.quat_to_rotmat(q)
+    return G.skew(t) @ R
+
+
+def decompose_essential(E):
+    """E -> (R1, R2, t) candidate decomposition (4 hypotheses: (R1,t),
+    (R1,-t), (R2,t), (R2,-t)).
+    (reference: decompose_essential, src/geometry/essential.cc:221-281)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    return R1, R2, t
+
+
+def _depth_in_front(R, t, x1, x2, mask, max_depth=100.0):
+    """Count points with positive, bounded depth in both views after
+    triangulation under relative pose (R, t): cam1 = I, cam2 = (R, t)."""
+    q2 = G.rotmat_to_quat(R)
+    qi = jnp.array([1.0, 0.0, 0.0, 0.0], x1.dtype)
+    ti = jnp.zeros(3, x1.dtype)
+    from . import triangulation as T
+
+    q2b = jnp.broadcast_to(q2, x1.shape[:-1] + (4,))
+    t2b = jnp.broadcast_to(t, x1.shape[:-1] + (3,))
+    qib = jnp.broadcast_to(qi, x1.shape[:-1] + (4,))
+    tib = jnp.broadcast_to(ti, x1.shape[:-1] + (3,))
+    X = T.triangulate_two_view(qib, tib, x1, q2b, t2b, x2)
+    z1 = X[..., 2]
+    z2 = G.pose_apply(q2b, t2b, X)[..., 2]
+    ok = (z1 > 0) & (z1 < max_depth) & (z2 > 0) & (z2 < max_depth) & mask
+    return jnp.sum(ok), ok
+
+
+def recover_pose_from_essential(E, x1, x2, mask):
+    """Choose the (R, t) of the 4 essential decompositions with the best
+    cheirality support.  x are normalized camera coords.
+    Returns (q [4], t [3], num_good, good_mask [N]).
+    (reference: check_essential_rt + decompose_rt,
+    src/geometry/essential.cc:432-487)."""
+    R1, R2, t = decompose_essential(E)
+    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+    counts = []
+    masks = []
+    for R_, t_ in cands:
+        c, m = _depth_in_front(R_, t_, x1, x2, mask)
+        counts.append(c)
+        masks.append(m)
+    counts = jnp.stack(counts)
+    masks = jnp.stack(masks)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    best = jnp.argmax(counts)
+    q = G.rotmat_to_quat(Rs[best])
+    return q, ts[best], counts[best], masks[best]
