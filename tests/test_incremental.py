@@ -1,0 +1,73 @@
+"""End-to-end incremental SfM on a synthetic scene.
+
+Plays the role of the reference's test_data smoke test (SURVEY.md §4): the
+matching stage output is simulated exactly (known correspondences with
+shuffled per-frame feature order + outliers), and the reconstruction is
+checked against ground truth with Umeyama-aligned ATE.
+"""
+
+import numpy as np
+import pytest
+
+from xrsfm_tpu.base.map import SfMMap
+from xrsfm_tpu.mapper import IncrementalMapper, MapperOptions
+from xrsfm_tpu.ops.umeyama import ate_rmse
+from xrsfm_tpu.utils import camera as C
+from xrsfm_tpu.utils import geometry as G
+
+from synthetic import make_scene
+
+
+def build_map_from_scene(s, f=500.0, cx=320.0, cy=240.0, window=3,
+                         noise_px=0.3, outlier_frac=0.03, seed=0):
+    rng = np.random.default_rng(seed)
+    n_cams, n_pts = s["uv"].shape[:2]
+    m = SfMMap()
+    m.add_camera(0, C.PINHOLE, [f, f, cx, cy], 640, 480)
+    perms = []
+    for i in range(n_cams):
+        uv_px = s["uv"][i] * f + np.array([cx, cy], np.float32)
+        uv_px = uv_px + rng.normal(scale=noise_px, size=uv_px.shape)
+        perm = rng.permutation(n_pts)
+        perms.append(np.argsort(perm))  # point k -> feature index
+        m.add_frame(f"img{i:04d}.png", 0, uv_px[perm].astype(np.float32))
+    for i in range(n_cams):
+        for j in range(i + 1, min(i + 1 + window, n_cams)):
+            pts = np.arange(n_pts)
+            idx_i = perms[i][pts]
+            idx_j = perms[j][pts]
+            matches = np.stack([idx_i, idx_j], axis=1).astype(np.int32)
+            # inject a few wrong matches to exercise robustness
+            n_out = int(outlier_frac * len(matches))
+            if n_out:
+                rows = rng.choice(len(matches), n_out, replace=False)
+                matches[rows, 1] = rng.integers(0, n_pts, n_out)
+            m.add_pair(i, j, matches)
+    m.build_correspondence_graph()
+    return m
+
+
+@pytest.mark.slow
+def test_incremental_reconstruction_synthetic():
+    s = make_scene(n_cams=6, n_pts=150, seed=20, noise=0.0)
+    m = build_map_from_scene(s)
+    mapper = IncrementalMapper(MapperOptions(verbose=True))
+    ok = mapper.reconstruct(m)
+    assert ok, "initialization failed"
+    assert int(np.count_nonzero(m.registered)) == 6, (
+        f"only {np.count_nonzero(m.registered)} frames registered"
+    )
+    # ATE vs ground truth after similarity alignment
+    import jax.numpy as jnp
+
+    est_centers = np.asarray(
+        G.pose_center(jnp.asarray(m.q, jnp.float32), jnp.asarray(m.t, jnp.float32))
+    )
+    gt_centers = np.asarray(
+        G.pose_center(jnp.asarray(s["q"]), jnp.asarray(s["t"]))
+    )
+    ate = ate_rmse(gt_centers, est_centers)
+    # scene scale ~8 (cameras on radius-4 arc): demand sub-percent ATE
+    assert ate < 0.05, f"ATE {ate}"
+    # most points should be in tracks
+    assert int(np.count_nonzero(m.track_valid)) > 100

@@ -1,0 +1,95 @@
+import numpy as np
+import jax.numpy as jnp
+
+from xrsfm_tpu.ops import matching as dmatch
+from xrsfm_tpu.feature import matching as fmatch
+from xrsfm_tpu.utils.io_features import FrameFeatures
+
+from synthetic import make_scene
+
+
+def quantize_desc(v):
+    """float L1-root-normalized descriptor -> uint8, 512*v truncation
+    (reference: FeatureDescriptorsToUnsignedByte, sift_extractor.h:22-34)."""
+    return np.minimum(512.0 * v, 255.0).astype(np.uint8)
+
+
+def random_descriptors(rng, n):
+    d = np.abs(rng.normal(size=(n, 128))).astype(np.float32)
+    d /= d.sum(-1, keepdims=True)  # L1
+    d = np.sqrt(d)  # root -> L2 normalized
+    return d
+
+
+def test_match_descriptors_identity():
+    rng = np.random.default_rng(0)
+    d = random_descriptors(rng, 100)
+    du = quantize_desc(d)
+    perm = rng.permutation(100)
+    m, dists = dmatch.match_pair_host(du, du[perm])
+    # every feature should match its permuted copy
+    assert len(m) == 100
+    assert (perm[m[:, 0]] == perm[perm[m[:, 1]]]).all() or (
+        m[:, 1] == np.argsort(perm)[m[:, 0]]
+    ).all()
+
+
+def test_match_descriptors_rejects_ambiguous():
+    rng = np.random.default_rng(1)
+    d = random_descriptors(rng, 64)
+    du = quantize_desc(d)
+    # second set: duplicate each descriptor twice -> ratio test must reject
+    d2 = np.repeat(du, 2, axis=0)
+    m, _ = dmatch.match_pair_host(du, d2)
+    assert len(m) < 5  # nearly everything ambiguous
+
+
+def test_match_descriptors_respects_masks():
+    rng = np.random.default_rng(2)
+    d1 = quantize_desc(random_descriptors(rng, 32))
+    m, _ = dmatch.match_pair_host(d1, d1)
+    assert len(m) == 32
+    assert (m[:, 0] == m[:, 1]).all()
+
+
+def _features_from_scene(s, noise=0.0, seed=0):
+    """Build FrameFeatures with descriptors shared per 3D point."""
+    rng = np.random.default_rng(seed)
+    n_cams, n_pts = s["uv"].shape[:2]
+    base = random_descriptors(rng, n_pts)
+    feats = []
+    perms = []
+    for i in range(n_cams):
+        uv_px = s["uv"][i] * 500.0 + np.array([320, 240], np.float32)
+        perm = rng.permutation(n_pts)
+        d = base[perm] + rng.normal(scale=noise, size=(n_pts, 128))
+        d = np.abs(d)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        kp = np.zeros((n_pts, 4), np.float32)
+        kp[:, :2] = uv_px[perm]
+        feats.append(
+            FrameFeatures(
+                name=f"im{i}.png",
+                keypoints=kp,
+                descriptors=quantize_desc(d),
+            )
+        )
+        perms.append(perm)
+    return feats, perms
+
+
+def test_match_and_verify_pipeline():
+    s = make_scene(n_cams=3, n_pts=120, seed=5)
+    feats, perms = _features_from_scene(s, noise=0.01)
+    pairs = fmatch.sequential_pairs(3, fmatch.MatchingOptions(seq_window=3))
+    out = fmatch.match_and_verify_pairs(feats, pairs, verbose=False)
+    assert len(out) >= 2
+    for p in out:
+        # verified pairs should have many inliers (clean synthetic data)
+        assert p.inlier_num > 60
+        # inlier matches must be geometrically consistent with GT
+        # correspondence: feature k in frame i is 3D point perms[i][k]
+        pt1 = perms[p.id1][p.matches[p.inlier_mask][:, 0]]
+        pt2 = perms[p.id2][p.matches[p.inlier_mask][:, 1]]
+        frac_correct = np.mean(pt1 == pt2)
+        assert frac_correct > 0.95, frac_correct

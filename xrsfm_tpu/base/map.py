@@ -1,0 +1,310 @@
+"""Host-side reconstruction state: frames, tracks, correspondence graph.
+
+TPU-native re-design of the reference's mutable ``Map``
+(reference: src/base/map.h:116-195, src/base/map.cc).  The reference keeps
+bidirectional pointers (Track.observations_ <-> Frame.track_ids_) and scans
+them with per-point loops; here the same state is SoA numpy with a CSR
+correspondence graph so every query used by the incremental loop
+(correspondence search, next-frame scoring, covisibility) is a vectorized
+gather, and the numeric kernels (RANSAC, triangulation, BA) consume padded
+device arrays built from these tables.
+
+Host/device split (SURVEY.md §7.3): graph bookkeeping stays in numpy on the
+host — it is cheap and irregular; all O(points x hypotheses) math runs on
+device.  Host->device transfer per step is O(touched frame), not O(map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils import camera as Cam
+
+
+@dataclasses.dataclass
+class CorrCSR:
+    """Per-frame correspondence graph in CSR form.
+
+    For frame f: correspondences of keypoint p are
+    (other_frame[offsets[p]:offsets[p+1]], other_p2d[offsets[p]:offsets[p+1]]).
+    (reference: CorrespondenceGraph, src/base/map.h:101-114)
+    """
+
+    offsets: np.ndarray  # [Ni + 1] int64
+    other_frame: np.ndarray  # [E] int32
+    other_p2d: np.ndarray  # [E] int32
+
+    def of(self, p2d: int) -> Tuple[np.ndarray, np.ndarray]:
+        s, e = self.offsets[p2d], self.offsets[p2d + 1]
+        return self.other_frame[s:e], self.other_p2d[s:e]
+
+
+class SfMMap:
+    """The world state for incremental SfM."""
+
+    def __init__(self):
+        # frames
+        self.names: List[str] = []
+        self.cam_of_frame: np.ndarray = np.zeros(0, np.int32)
+        self.kps: List[np.ndarray] = []  # [Ni, 2] float32 pixels
+        self.kps_norm: List[np.ndarray] = []  # [Ni, 2] float32 normalized
+        self.track_of: List[np.ndarray] = []  # [Ni] int64, -1 = none
+        self.registered: np.ndarray = np.zeros(0, bool)
+        self.registered_fail: np.ndarray = np.zeros(0, bool)
+        self.q: np.ndarray = np.zeros((0, 4), np.float64)  # Tcw
+        self.t: np.ndarray = np.zeros((0, 3), np.float64)
+        # cameras: camera_id -> canonical [8] params (+ raw for I/O)
+        self.cameras: Dict[int, np.ndarray] = {}
+        self.camera_models: Dict[int, Tuple[int, np.ndarray, int, int]] = {}
+        # pairs (inlier matches only after geometric verification)
+        self.pairs: List[Tuple[int, int, np.ndarray]] = []
+        self.pair_index: Dict[Tuple[int, int], int] = {}
+        self.frame_pairs_of: List[List[int]] = []  # frame -> pair indices
+        # correspondence graph
+        self.corr: List[Optional[CorrCSR]] = []
+        # per-(frame, p2d) count of correspondences that land on a live track
+        self.p3d_corr_cnt: List[np.ndarray] = []
+        # tracks (growable pools)
+        cap = 1024
+        self.track_xyz = np.zeros((cap, 3), np.float64)
+        self.track_valid = np.zeros(cap, bool)
+        self.track_error = np.zeros(cap, np.float64)
+        self.track_angle = np.zeros(cap, np.float64)
+        self.track_obs: List[Dict[int, int]] = []  # track -> {frame: p2d}
+        self.num_tracks = 0
+        # init pair bookkeeping (gauge fixing in BA)
+        self.init_id1 = -1
+        self.init_id2 = -1
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.names)
+
+    def add_camera(self, cam_id: int, model_id: int, params, width=0, height=0):
+        raw = np.asarray(params, np.float64)
+        self.cameras[cam_id] = Cam.canonicalize_params(model_id, raw)
+        self.camera_models[cam_id] = (model_id, raw, width, height)
+
+    def add_frame(self, name: str, cam_id: int, keypoints_xy: np.ndarray):
+        """keypoints_xy [N, 2] pixel coordinates."""
+        self.names.append(name)
+        self.cam_of_frame = np.append(self.cam_of_frame, np.int32(cam_id))
+        kp = np.asarray(keypoints_xy, np.float32).reshape(-1, 2)
+        self.kps.append(kp)
+        self.kps_norm.append(self._normalize(cam_id, kp))
+        self.track_of.append(np.full(len(kp), -1, np.int64))
+        self.registered = np.append(self.registered, False)
+        self.registered_fail = np.append(self.registered_fail, False)
+        self.q = np.vstack([self.q, [[1.0, 0, 0, 0]]])
+        self.t = np.vstack([self.t, [[0.0, 0, 0]]])
+        self.corr.append(None)
+        self.p3d_corr_cnt.append(np.zeros(len(kp), np.int32))
+        self.frame_pairs_of.append([])
+        return len(self.names) - 1
+
+    def _normalize(self, cam_id: int, kp: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        params = jnp.asarray(self.cameras[cam_id], jnp.float32)
+        out = np.asarray(Cam.image_to_normalized(params, jnp.asarray(kp)))
+        return out.astype(np.float32)
+
+    def add_pair(self, id1: int, id2: int, inlier_matches: np.ndarray):
+        """inlier_matches [M, 2] int32 (p2d in id1, p2d in id2)."""
+        pid = len(self.pairs)
+        m = np.asarray(inlier_matches, np.int32).reshape(-1, 2)
+        self.pairs.append((id1, id2, m))
+        self.pair_index[(id1, id2)] = pid
+        self.frame_pairs_of[id1].append(pid)
+        self.frame_pairs_of[id2].append(pid)
+
+    def build_correspondence_graph(self):
+        """Build per-frame CSR correspondence tables from the pair matches.
+        (reference: Map::Init corr-graph phase, src/base/map.cc:29-87)."""
+        per_frame: List[List[np.ndarray]] = [[] for _ in range(self.num_frames)]
+        for id1, id2, m in self.pairs:
+            if len(m) == 0:
+                continue
+            a = np.empty((len(m), 3), np.int64)
+            a[:, 0] = m[:, 0]
+            a[:, 1] = id2
+            a[:, 2] = m[:, 1]
+            per_frame[id1].append(a)
+            b = np.empty((len(m), 3), np.int64)
+            b[:, 0] = m[:, 1]
+            b[:, 1] = id1
+            b[:, 2] = m[:, 0]
+            per_frame[id2].append(b)
+        for f in range(self.num_frames):
+            n = len(self.kps[f])
+            if per_frame[f]:
+                rows = np.concatenate(per_frame[f], axis=0)
+                order = np.argsort(rows[:, 0], kind="stable")
+                rows = rows[order]
+                counts = np.bincount(rows[:, 0], minlength=n)
+                offsets = np.zeros(n + 1, np.int64)
+                np.cumsum(counts, out=offsets[1:])
+                self.corr[f] = CorrCSR(
+                    offsets=offsets,
+                    other_frame=rows[:, 1].astype(np.int32),
+                    other_p2d=rows[:, 2].astype(np.int32),
+                )
+            else:
+                self.corr[f] = CorrCSR(
+                    offsets=np.zeros(n + 1, np.int64),
+                    other_frame=np.zeros(0, np.int32),
+                    other_p2d=np.zeros(0, np.int32),
+                )
+
+    # ------------------------------------------------------------------
+    # track pool
+    # ------------------------------------------------------------------
+
+    def _grow_tracks(self, need: int):
+        cap = len(self.track_valid)
+        if self.num_tracks + need <= cap:
+            return
+        new_cap = max(cap * 2, self.num_tracks + need)
+        self.track_xyz = np.vstack(
+            [self.track_xyz, np.zeros((new_cap - cap, 3), np.float64)]
+        )
+        self.track_valid = np.append(
+            self.track_valid, np.zeros(new_cap - cap, bool)
+        )
+        self.track_error = np.append(
+            self.track_error, np.zeros(new_cap - cap, np.float64)
+        )
+        self.track_angle = np.append(
+            self.track_angle, np.zeros(new_cap - cap, np.float64)
+        )
+
+    def new_track(self, xyz: np.ndarray) -> int:
+        self._grow_tracks(1)
+        tid = self.num_tracks
+        self.num_tracks += 1
+        self.track_xyz[tid] = xyz
+        self.track_valid[tid] = True
+        self.track_obs.append({})
+        return tid
+
+    def add_observation(self, tid: int, frame: int, p2d: int):
+        """Attach (frame, p2d) to track tid and update visibility counters."""
+        old = self.track_of[frame][p2d]
+        if old == tid:
+            return
+        if old >= 0:
+            self.remove_observation(int(old), frame, p2d)
+        self.track_obs[tid][frame] = p2d
+        self.track_of[frame][p2d] = tid
+        of, op = self.corr[frame].of(p2d)
+        for f2, pp in zip(of, op):
+            self.p3d_corr_cnt[f2][pp] += 1
+
+    def remove_observation(self, tid: int, frame: int, p2d: int):
+        if self.track_obs[tid].get(frame) != p2d:
+            return
+        del self.track_obs[tid][frame]
+        self.track_of[frame][p2d] = -1
+        of, op = self.corr[frame].of(p2d)
+        for f2, pp in zip(of, op):
+            self.p3d_corr_cnt[f2][pp] -= 1
+        if len(self.track_obs[tid]) < 2 and self.track_valid[tid]:
+            # a 1-observation track is not a track
+            self.delete_track(tid)
+
+    def delete_track(self, tid: int):
+        if not self.track_valid[tid]:
+            return
+        self.track_valid[tid] = False
+        for frame, p2d in list(self.track_obs[tid].items()):
+            del self.track_obs[tid][frame]
+            self.track_of[frame][p2d] = -1
+            of, op = self.corr[frame].of(p2d)
+            for f2, pp in zip(of, op):
+                self.p3d_corr_cnt[f2][pp] -= 1
+
+    # ------------------------------------------------------------------
+    # queries used by the incremental loop
+    # ------------------------------------------------------------------
+
+    def visible_track_count(self, frame: int) -> int:
+        """Number of keypoints of `frame` whose correspondences reach >= 1
+        live track (reference: Frame::num_visible_points3D analog)."""
+        return int(np.count_nonzero(self.p3d_corr_cnt[frame] > 0))
+
+    def next_frame_to_register(self, min_visible: int = 20) -> int:
+        """Unregistered frame seeing the most tracks (reference:
+        Map::MaxPoint3dFrameId, src/base/map.cc:129-205).  Returns -1 when
+        none qualifies."""
+        best, best_cnt = -1, min_visible - 1
+        for f in range(self.num_frames):
+            if self.registered[f] or self.registered_fail[f]:
+                continue
+            c = self.visible_track_count(f)
+            if c > best_cnt:
+                best, best_cnt = f, c
+        return best
+
+    def search_correspondences(self, frame: int):
+        """2D-3D correspondences for registration: for each keypoint of
+        `frame`, tracks seen through registered neighbors.
+        Returns (p2d_idx [K], track_id [K]) deduplicated.
+        (reference: Map::SearchCorrespondences, src/base/map.cc:255-310)."""
+        csr = self.corr[frame]
+        if len(csr.other_frame) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        reg = self.registered[csr.other_frame]
+        # track of each correspondence target
+        tids = np.full(len(csr.other_frame), -1, np.int64)
+        # gather per other-frame (loop over involved frames, vectorized inside)
+        for f2 in np.unique(csr.other_frame[reg]):
+            sel = (csr.other_frame == f2) & reg
+            tids[sel] = self.track_of[f2][csr.other_p2d[sel]]
+        ok = tids >= 0
+        ok &= np.where(ok, self.track_valid[np.maximum(tids, 0)], False)
+        if not np.any(ok):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # expand p2d index per correspondence row
+        counts = np.diff(csr.offsets)
+        p2d_of_row = np.repeat(np.arange(len(counts)), counts)
+        pairs = np.stack([p2d_of_row[ok], tids[ok]], axis=1)
+        pairs = np.unique(pairs, axis=0)
+        return pairs[:, 0], pairs[:, 1]
+
+    def covisible_frames(self, frame: int, min_shared: int = 1):
+        """Registered frames sharing tracks with `frame`, sorted by shared
+        count descending.  Returns (frame_ids, counts)."""
+        cnt: Dict[int, int] = {}
+        for p2d, tid in enumerate(self.track_of[frame]):
+            if tid < 0 or not self.track_valid[tid]:
+                continue
+            for f2 in self.track_obs[tid]:
+                if f2 != frame and self.registered[f2]:
+                    cnt[f2] = cnt.get(f2, 0) + 1
+        items = [(f2, c) for f2, c in cnt.items() if c >= min_shared]
+        items.sort(key=lambda x: -x[1])
+        return (
+            np.array([f for f, _ in items], np.int64),
+            np.array([c for _, c in items], np.int64),
+        )
+
+    def frame_observations(self, frame: int):
+        """(p2d_idx, track_id) of live observations of a frame."""
+        t = self.track_of[frame]
+        p2d = np.nonzero(t >= 0)[0]
+        return p2d, t[p2d]
+
+    def deregister_frame(self, frame: int):
+        """Remove a frame and all its observations (reference:
+        Map::DeregistrationFrame, src/base/map.cc:665-680)."""
+        p2d, tids = self.frame_observations(frame)
+        for p, tid in zip(p2d, tids):
+            self.remove_observation(int(tid), frame, int(p))
+        self.registered[frame] = False

@@ -1,0 +1,181 @@
+"""The incremental SfM main loop.
+
+(reference: IncrementalMapper::Reconstruct,
+src/mapper/incremental_mapper.cc:6-98 — init pair, GBA, then per frame:
+select next, register, triangulate, filter, merge, LBA, periodic KGBA)
+
+The outer loop is host Python (inherently sequential — the next frame
+depends on map state, SURVEY.md §7.3); every numeric step inside is a
+batched jitted device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from . import ba_glue, initialize, register, triangulate
+from ..base.map import SfMMap
+from ..optim.ba import BAOptions
+
+
+@dataclasses.dataclass
+class MapperOptions:
+    init: initialize.InitOptions = dataclasses.field(
+        default_factory=initialize.InitOptions
+    )
+    reg: register.RegisterOptions = dataclasses.field(
+        default_factory=register.RegisterOptions
+    )
+    tri: triangulate.TriOptions = dataclasses.field(
+        default_factory=triangulate.TriOptions
+    )
+    # reference defaults: th_rpe_lba 16, th_rpe_gba 16 (incremental_mapper.h)
+    lba_iters: int = 5
+    gba_iters: int = 20
+    lba_frames: int = 5  # covisibility neighbors included in LBA
+    gba_growth: float = 1.2  # periodic GBA trigger (incremental_mapper.cc:77)
+    stop_when_register_fail: bool = False
+    min_visible: int = 20
+    init_id1: int = -1
+    init_id2: int = -1
+    verbose: bool = True
+
+
+@dataclasses.dataclass
+class MapperStats:
+    registered: int = 0
+    failed: int = 0
+    tracks: int = 0
+    time_register: float = 0.0
+    time_triangulate: float = 0.0
+    time_filter: float = 0.0
+    time_merge: float = 0.0
+    time_lba: float = 0.0
+    time_gba: float = 0.0
+    time_total: float = 0.0
+
+
+class IncrementalMapper:
+    def __init__(self, opts: MapperOptions = MapperOptions()):
+        self.opts = opts
+        self.stats = MapperStats()
+
+    def _log(self, msg: str):
+        if self.opts.verbose:
+            print(f"[mapper] {msg}", flush=True)
+
+    def reconstruct(self, m: SfMMap) -> bool:
+        o = self.opts
+        t_start = time.time()
+        if not initialize.find_and_initialize(
+            m, o.init, o.init_id1, o.init_id2
+        ):
+            self._log("initialization failed")
+            return False
+        self._log(
+            f"initialized with pair ({m.init_id1}, {m.init_id2}), "
+            f"{m.num_tracks} tracks"
+        )
+        ba_glue.run_ba(
+            m,
+            [m.init_id1, m.init_id2],
+            BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+        )
+
+        num_reg_at_gba = 2
+        while True:
+            nxt = m.next_frame_to_register(o.min_visible)
+            if nxt < 0:
+                break
+            t0 = time.time()
+            ok, n_inl = register.register_frame(m, nxt, o.reg)
+            self.stats.time_register += time.time() - t0
+            if not ok:
+                m.registered_fail[nxt] = True
+                self.stats.failed += 1
+                self._log(f"register frame {nxt} FAILED ({n_inl} inliers)")
+                if o.stop_when_register_fail:
+                    break
+                continue
+            self.stats.registered += 1
+
+            t0 = time.time()
+            n_new, n_ext = triangulate.triangulate_frame(m, nxt, o.tri)
+            self.stats.time_triangulate += time.time() - t0
+
+            t0 = time.time()
+            tri_ids = [
+                int(t) for t in np.unique(m.track_of[nxt]) if t >= 0
+            ]
+            triangulate.filter_tracks(m, tri_ids, o.tri)
+            self.stats.time_filter += time.time() - t0
+
+            t0 = time.time()
+            n_merged = triangulate.merge_frame_tracks(m, nxt, o.tri)
+            self.stats.time_merge += time.time() - t0
+
+            t0 = time.time()
+            local = self._local_frames(m, nxt)
+            res = ba_glue.run_ba(
+                m, local, BAOptions(max_iters=o.lba_iters, huber_px=4.0)
+            )
+            self.stats.time_lba += time.time() - t0
+
+            n_reg = int(np.count_nonzero(m.registered))
+            self._log(
+                f"frame {nxt}: +{n_new} tracks, {n_ext} extended, "
+                f"{n_merged} merged, {n_inl} pnp inliers, reg {n_reg}"
+            )
+
+            if n_reg >= o.gba_growth * num_reg_at_gba:
+                t0 = time.time()
+                reg_frames = list(np.nonzero(m.registered)[0])
+                gres = ba_glue.run_ba(
+                    m,
+                    reg_frames,
+                    BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+                )
+                triangulate.filter_tracks(m, None, o.tri)
+                self.stats.time_gba += time.time() - t0
+                num_reg_at_gba = n_reg
+                if gres is not None:
+                    self._log(
+                        f"GBA over {n_reg} frames: cost "
+                        f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
+                    )
+
+        # final global BA + filter
+        reg_frames = list(np.nonzero(m.registered)[0])
+        if len(reg_frames) >= 2:
+            t0 = time.time()
+            ba_glue.run_ba(
+                m,
+                reg_frames,
+                BAOptions(max_iters=2 * self.opts.gba_iters, huber_px=4.0),
+            )
+            triangulate.filter_tracks(m, None, self.opts.tri)
+            self.stats.time_gba += time.time() - t0
+        self.stats.tracks = int(np.count_nonzero(m.track_valid))
+        self.stats.time_total = time.time() - t_start
+        self._log(
+            f"done: {self.stats.registered + 2} registered, "
+            f"{self.stats.tracks} tracks, {self.stats.time_total:.1f}s "
+            f"(reg {self.stats.time_register:.1f} "
+            f"tri {self.stats.time_triangulate:.1f} "
+            f"fil {self.stats.time_filter:.1f} "
+            f"mrg {self.stats.time_merge:.1f} "
+            f"lba {self.stats.time_lba:.1f} "
+            f"gba {self.stats.time_gba:.1f})"
+        )
+        return True
+
+    def _local_frames(self, m: SfMMap, frame: int):
+        """Local bundle = the frame + top covisible neighbors
+        (reference: CovisibilityNeibors + FindLocalBundle,
+        ba_solver.cc:393-521)."""
+        neigh, _ = m.covisible_frames(frame)
+        local = [frame] + [int(f) for f in neigh[: self.opts.lba_frames]]
+        return local

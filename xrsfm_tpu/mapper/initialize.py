@@ -1,0 +1,116 @@
+"""Two-view map initialization.
+
+(reference: FindInitFramePair / CheckInitFramePair / InitializeMap,
+src/geometry/map_initializer.cc:13-206)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kernels
+from ..base.map import SfMMap
+from ..utils import geometry as G
+
+
+@dataclasses.dataclass
+class InitOptions:
+    # reference thresholds (map_initializer.cc): E RANSAC at 10px/f,
+    # >= 50% triangulable, >= 50% of those above 16 deg (retry 8 deg),
+    # > 200 points for large scenes
+    ransac_px: float = 10.0
+    min_tri_ratio: float = 0.5
+    good_angle_deg: float = 16.0
+    retry_angle_deg: float = 8.0
+    min_points: int = 100
+    max_candidates: int = 50
+
+
+def _pair_matches_normalized(m: SfMMap, id1: int, id2: int, matches):
+    uv1 = m.kps_norm[id1][matches[:, 0]]
+    uv2 = m.kps_norm[id2][matches[:, 1]]
+    return uv1, uv2
+
+
+def check_init_pair(m: SfMMap, id1: int, id2: int, matches, opts: InitOptions):
+    """Returns (ok, q2, t2, xyz [M,3], accept_mask [M]) for the candidate
+    init pair."""
+    n = len(matches)
+    if n < 8:
+        return False, None, None, None, None
+    uv1, uv2 = _pair_matches_normalized(m, id1, id2, matches)
+    b = kernels.bucket(n)
+    uv1p = kernels.pad_rows(uv1, b)
+    uv2p = kernels.pad_rows(uv2, b)
+    mask = np.zeros(b, bool)
+    mask[:n] = True
+    focal = float(m.cameras[int(m.cam_of_frame[id1])][0])
+    th = (opts.ransac_px / focal) ** 2
+    key = jax.random.PRNGKey((id1 * 32768 + id2) & 0x7FFFFFFF)
+    E, inl, n_inl, success = kernels.essential_ransac(
+        key, jnp.asarray(uv1p), jnp.asarray(uv2p), jnp.asarray(mask), th
+    )
+    if not bool(success):
+        return False, None, None, None, None
+    q, t, n_good, X, good, ang = kernels.init_pair_stats(
+        E, jnp.asarray(uv1p), jnp.asarray(uv2p), inl
+    )
+    good = np.asarray(good)[:n]
+    ang = np.asarray(ang)[:n]
+    n_inl_i = int(n_inl)
+    if n_inl_i == 0 or int(n_good) < opts.min_tri_ratio * n_inl_i:
+        return False, None, None, None, None
+    for ang_th in (opts.good_angle_deg, opts.retry_angle_deg):
+        n_wide = int(np.count_nonzero(good & (ang > np.deg2rad(ang_th))))
+        if n_wide >= opts.min_tri_ratio * int(n_good) and int(n_good) >= opts.min_points:
+            accept = good & (np.asarray(
+                kernels.reproj_errors_batch(
+                    jnp.broadcast_to(q, (len(X), 4)),
+                    jnp.broadcast_to(t, (len(X), 3)),
+                    jnp.asarray(uv1p), X,
+                )[0]
+            )[:n] < np.inf)
+            return True, np.asarray(q), np.asarray(t), np.asarray(X)[:n], accept
+    return False, None, None, None, None
+
+
+def find_and_initialize(m: SfMMap, opts: InitOptions = InitOptions(),
+                        init_id1: int = -1, init_id2: int = -1) -> bool:
+    """Pick the best init pair, set the two poses, create initial tracks.
+
+    Candidate order: pairs sorted by inlier-match count descending
+    (reference sorts by #matched-frames then #correspondences,
+    map_initializer.cc:67-139 — match count is the dense-graph equivalent).
+    """
+    order = sorted(
+        range(len(m.pairs)), key=lambda i: -len(m.pairs[i][2])
+    )[: opts.max_candidates]
+    if init_id1 >= 0 and init_id2 >= 0:
+        forced = [
+            i for i in order
+            if {m.pairs[i][0], m.pairs[i][1]} == {init_id1, init_id2}
+        ]
+        order = forced + [i for i in order if i not in forced]
+    for pi in order:
+        id1, id2, matches = m.pairs[pi]
+        ok, q2, t2, X, accept = check_init_pair(m, id1, id2, matches, opts)
+        if not ok:
+            continue
+        # frame1 at identity, frame2 at (q, t)
+        m.q[id1] = [1.0, 0, 0, 0]
+        m.t[id1] = 0.0
+        m.q[id2] = q2
+        m.t[id2] = t2
+        m.registered[id1] = True
+        m.registered[id2] = True
+        m.init_id1, m.init_id2 = id1, id2
+        for k in np.nonzero(accept)[0]:
+            tid = m.new_track(X[k])
+            m.add_observation(tid, id1, int(matches[k, 0]))
+            m.add_observation(tid, id2, int(matches[k, 1]))
+        return True
+    return False

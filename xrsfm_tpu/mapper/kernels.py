@@ -1,0 +1,221 @@
+"""Jitted device kernels for the incremental mapping loop.
+
+Each kernel takes fixed-shape padded arrays (host pads to power-of-two
+buckets so XLA compiles once per bucket) and is cached by jax.jit.  These
+replace the reference's per-point scalar loops:
+  * pnp_ransac   — LORANSAC<P3P, refine> registration
+    (reference: SolvePnP_colmap, src/geometry/pnp.cc:253-272)
+  * robust_triangulate — RANSAC-over-observation-pairs multi-view
+    triangulation (reference: EstimateTriangulation,
+    src/geometry/colmap/estimators/triangulation.cc:167-197) — all C(V,2)
+    two-view hypotheses are evaluated at once instead of sampling
+  * two_view_check / essential_ransac — init-pair verification
+    (reference: solve_essential + CheckInitFramePair,
+    src/geometry/essential.cc:389-404, map_initializer.cc:13-139)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import epipolar, pnp, ransac, triangulation as tri
+from ..utils import geometry as G
+
+
+def bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    if len(a) >= n:
+        return a[:n]
+    pad = np.full((n - len(a),) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def pnp_ransac(key, uv, xyz, mask, threshold, num_hypotheses: int = 256):
+    """P3P RANSAC + LM refine.  uv [N,2] normalized, xyz [N,3], mask [N].
+
+    Returns (q [4], t [3], inliers [N], num_inliers, success).
+    """
+
+    def estimate(sampled, sample_valid):
+        uv_s, xyz_s = sampled
+        q, t, valid = pnp.p3p(xyz_s, uv_s)
+        return (q, t), valid & jnp.all(sample_valid)
+
+    def residual(models, data):
+        q, t = models
+        uv_d, xyz_d = data
+        return pnp.pnp_residuals(q, t, uv_d, xyz_d)
+
+    res = ransac.ransac(
+        key,
+        data=(uv, xyz),
+        mask=mask,
+        estimate_fn=estimate,
+        residual_fn=residual,
+        sample_size=3,
+        threshold=threshold,
+        num_hypotheses=num_hypotheses,
+        refit_fn=None,
+    )
+    q, t = res.model
+    # LO step: LM refine on the inlier set (plays the reference's
+    # EPNP-local-optimization + Ceres-refine role, pnp.cc:39-71)
+    w = res.inliers.astype(uv.dtype)
+    q2, t2 = pnp.refine_pose(q, t, uv, xyz, w, iters=10)
+    r2 = pnp.pnp_residuals(q2[None], t2[None], uv, xyz)[0]
+    inl2 = (r2 <= threshold) & mask
+    better = jnp.sum(inl2) >= res.num_inliers
+    q3 = jnp.where(better, q2, q)
+    t3 = jnp.where(better, t2, t)
+    inl3 = jnp.where(better, inl2, res.inliers)
+    return q3, t3, inl3, jnp.sum(inl3), res.success
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+# ---------------------------------------------------------------------------
+
+
+def _pair_indices(V: int):
+    ii, jj = np.triu_indices(V, k=1)
+    return jnp.asarray(ii), jnp.asarray(jj)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _robust_triangulate_impl(q, t, uv, mask, th, min_angle):
+    """q [B,V,4], t [B,V,3], uv [B,V,2] normalized, mask [B,V].
+
+    Returns xyz [B,3], obs_ok [B,V], ok [B], angle [B].
+    """
+    B, V = mask.shape
+    ii, jj = _pair_indices(V)  # [H]
+
+    def solve_one(qb, tb, uvb, mb):
+        # all two-view hypotheses
+        X = tri.triangulate_two_view(
+            qb[ii], tb[ii], uvb[ii], qb[jj], tb[jj], uvb[jj]
+        )  # [H,3]
+        hyp_valid = mb[ii] & mb[jj]
+        # score every hypothesis against every observation
+        err = tri.reprojection_errors(
+            qb[None, :, :], tb[None, :, :], uvb[None, :, :], X[:, None, :]
+        )  # [H,V]
+        good = (err <= th) & mb[None, :]
+        # hypothesis must have enough ray angle
+        c1 = G.pose_center(qb[ii], tb[ii])
+        c2 = G.pose_center(qb[jj], tb[jj])
+        ang_h = tri.triangulation_angle(c1, c2, X)
+        hyp_valid &= ang_h >= min_angle
+        score = jnp.sum(good, axis=1)
+        score = jnp.where(hyp_valid, score, -1)
+        best = jnp.argmax(score)
+        # refit: masked multiview DLT on the best hypothesis' inliers
+        obs_ok = good[best]
+        Xr = tri.triangulate_multiview(qb, tb, uvb, obs_ok.astype(uvb.dtype))
+        err_r = tri.reprojection_errors(qb, tb, uvb, Xr[None, :])
+        obs_ok_r = (err_r <= th) & mb
+        use_refit = jnp.sum(obs_ok_r) >= jnp.sum(obs_ok)
+        Xf = jnp.where(use_refit, Xr, X[best])
+        obs_f = jnp.where(use_refit, obs_ok_r, obs_ok)
+        # max pairwise angle among accepted observations
+        centers = G.pose_center(qb, tb)
+        pair_ok = obs_f[ii] & obs_f[jj]
+        ang_pairs = tri.triangulation_angle(centers[ii], centers[jj], Xf[None, :])
+        max_ang = jnp.max(jnp.where(pair_ok, ang_pairs, 0.0))
+        ok = (jnp.sum(obs_f) >= 2) & (score[best] >= 2) & (max_ang >= min_angle)
+        return Xf, obs_f & ok, ok, max_ang
+
+    return jax.vmap(solve_one)(q, t, uv, mask)
+
+
+def robust_triangulate(q, t, uv, mask, th, min_angle):
+    return _robust_triangulate_impl(
+        q, t, uv, mask, jnp.asarray(th, jnp.float32), jnp.asarray(min_angle, jnp.float32)
+    )
+
+
+@jax.jit
+def reproj_errors_batch(q, t, uv, xyz):
+    """q [N,4], t [N,3], uv [N,2] normalized, xyz [N,3] -> err [N], z [N]."""
+    err = tri.reprojection_errors(q, t, uv, xyz)
+    z = tri.depths(q, t, xyz)
+    return err, z
+
+
+# ---------------------------------------------------------------------------
+# two-view initialization
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def essential_ransac(key, uv1, uv2, mask, threshold, num_hypotheses: int = 512):
+    """8-point essential RANSAC with manifold projection + LO refit.
+
+    Returns (E, inliers, num_inliers, success)."""
+
+    def estimate(sampled, sample_valid):
+        x1, x2 = sampled
+        E, valid = epipolar.essential_8pt(x1, x2, sample_valid)
+        return E[None], (valid & jnp.all(sample_valid))[None]
+
+    def residual(E, data):
+        x1, x2 = data
+        return epipolar.sampson_error(E, x1, x2)
+
+    def refit(data, inl):
+        x1, x2 = data
+        return epipolar.essential_8pt(x1, x2, inl)
+
+    res = ransac.ransac(
+        key,
+        data=(uv1, uv2),
+        mask=mask,
+        estimate_fn=estimate,
+        residual_fn=residual,
+        sample_size=8,
+        threshold=threshold,
+        num_hypotheses=num_hypotheses,
+        refit_fn=refit,
+        lo_iters=2,
+    )
+    return res.model, res.inliers, res.num_inliers, res.success
+
+
+@jax.jit
+def init_pair_stats(E, uv1, uv2, inliers):
+    """Decompose E, count triangulable points and their angles.
+
+    Returns (q, t, n_cheirality, xyz [N,3], good [N], angles [N]).
+    (reference: CheckInitFramePair, map_initializer.cc:13-139)."""
+    q, t, n_good, good = epipolar.recover_pose_from_essential(E, uv1, uv2, inliers)
+    n = uv1.shape[0]
+    qi = jnp.array([1.0, 0, 0, 0], uv1.dtype)
+    ti = jnp.zeros(3, uv1.dtype)
+    X = tri.triangulate_two_view(
+        jnp.broadcast_to(qi, (n, 4)),
+        jnp.broadcast_to(ti, (n, 3)),
+        uv1,
+        jnp.broadcast_to(q, (n, 4)),
+        jnp.broadcast_to(t, (n, 3)),
+        uv2,
+    )
+    c1 = jnp.zeros(3, uv1.dtype)
+    c2 = G.pose_center(q, t)
+    ang = tri.triangulation_angle(c1, c2, X)
+    return q, t, n_good, X, good, ang

@@ -1,0 +1,67 @@
+"""Frame registration: P3P RANSAC + LM refine + track extension.
+
+(reference: RegisterImage, src/geometry/pnp.cc:15-95)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kernels
+from ..base.map import SfMMap
+
+
+@dataclasses.dataclass
+class RegisterOptions:
+    # reference: max_error 8px/f, min 100 trials (pnp.cc:253-272)
+    ransac_px: float = 8.0
+    min_correspondences: int = 20
+    min_inlier_ratio: float = 0.25
+    num_hypotheses: int = 256
+
+
+def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOptions()):
+    """Try to register `frame`.  Returns (success, num_inliers)."""
+    p2d_idx, track_ids = m.search_correspondences(frame)
+    n = len(p2d_idx)
+    if n < opts.min_correspondences:
+        return False, 0
+    uv = m.kps_norm[frame][p2d_idx]
+    xyz = m.track_xyz[track_ids].astype(np.float32)
+    b = kernels.bucket(n)
+    uvp = kernels.pad_rows(uv, b)
+    xyzp = kernels.pad_rows(xyz, b)
+    mask = np.zeros(b, bool)
+    mask[:n] = True
+    focal = float(m.cameras[int(m.cam_of_frame[frame])][0])
+    th = (opts.ransac_px / focal) ** 2
+    key = jax.random.PRNGKey((frame * 2654435761) & 0x7FFFFFFF)
+    q, t, inl, n_inl, success = kernels.pnp_ransac(
+        key,
+        jnp.asarray(uvp),
+        jnp.asarray(xyzp),
+        jnp.asarray(mask),
+        th,
+        num_hypotheses=opts.num_hypotheses,
+    )
+    n_inl = int(n_inl)
+    if not bool(success) or n_inl < max(
+        opts.min_correspondences, int(opts.min_inlier_ratio * n)
+    ):
+        return False, n_inl
+    m.q[frame] = np.asarray(q, np.float64)
+    m.t[frame] = np.asarray(t, np.float64)
+    m.registered[frame] = True
+    # extend tracks with inlier 2D-3D matches (reference: pnp.cc:74-95)
+    inl_np = np.asarray(inl)[:n]
+    for k in np.nonzero(inl_np)[0]:
+        p2d = int(p2d_idx[k])
+        tid = int(track_ids[k])
+        if m.track_of[frame][p2d] < 0 and m.track_valid[tid]:
+            if frame not in m.track_obs[tid]:
+                m.add_observation(tid, frame, p2d)
+    return True, n_inl

@@ -1,0 +1,121 @@
+"""Batched SIFT descriptor matching — the MXU workload of the pipeline.
+
+TPU-native replacement for SiftMatchGPU (reference:
+3rdparty/SiftGPU/SiftMatchCU.cpp + ProgramCU.cu:1491-1852, consumed by
+src/feature/feature_processing.cc:100-154).  The reference computes an
+all-pairs descriptor dot-product per image pair on one CUDA device, then
+row/column mutual-best with a distance and ratio test.  Here the dot
+product is one f32 matmul (lowered onto the MXU), top-2 row/column
+reductions give best + second-best, and the accept rule follows the
+reference's uint8 path: angular distance < dist_th, best/second ratio
+< ratio_th, mutual best (feature_processing.cc:118-154 uses
+distance_th=0.7, ratio=0.8 for uint8 descriptors).
+
+Descriptors are L1-root normalized and quantized to uint8 as 512*v
+(reference: FeatureDescriptorsToUnsignedByte, sift_extractor.h:22-34), so
+cos(angle) = <d1, d2> / 512^2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_QUANT = 512.0
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_descriptors(
+    d1,
+    d2,
+    mask1,
+    mask2,
+    dist_th: float = 0.7,
+    ratio_th: float = 0.8,
+    max_matches: int = 4096,
+):
+    """Match two uint8 descriptor sets.
+
+    d1 [N,128] uint8, d2 [M,128] uint8, mask1 [N], mask2 [M] validity.
+    Returns (matches [max_matches, 2] int32 (padded with -1),
+             num_matches, distances [max_matches]).
+    """
+    f1 = d1.astype(jnp.float32)
+    f2 = d2.astype(jnp.float32)
+    sim = jax.lax.dot_general(
+        f1, f2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) / (_QUANT * _QUANT)  # [N, M] cosine similarity
+    neg = -2.0
+    sim = jnp.where(mask1[:, None] & mask2[None, :], sim, neg)
+
+    # top-2 per row
+    best2, idx2 = jax.lax.top_k(sim, 2)  # [N,2]
+    best_j = idx2[:, 0]
+    cos_best = jnp.clip(best2[:, 0], -1.0, 1.0)
+    cos_second = jnp.clip(best2[:, 1], -1.0, 1.0)
+    dist_best = jnp.arccos(cos_best)
+    dist_second = jnp.arccos(cos_second)
+
+    # column best for mutual check
+    col_best_i = jnp.argmax(sim, axis=0)  # [M]
+    mutual = col_best_i[best_j] == jnp.arange(sim.shape[0])
+
+    ok = (
+        mask1
+        & (best2[:, 0] > neg + 1)
+        & (dist_best < dist_th)
+        & (dist_best < ratio_th * dist_second)
+        & mutual
+    )
+
+    # compact to the first max_matches accepted rows
+    order = jnp.argsort(~ok)  # accepted rows first (stable)
+    rows = order[:max_matches]
+    valid = ok[rows]
+    matches = jnp.stack(
+        [
+            jnp.where(valid, rows, -1).astype(jnp.int32),
+            jnp.where(valid, best_j[rows], -1).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    return matches, jnp.sum(ok), jnp.where(valid, dist_best[rows], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_descriptors_batch(
+    d1, d2, mask1, mask2, dist_th=0.7, ratio_th=0.8, max_matches: int = 4096
+):
+    """vmapped pair matching: d1, d2 [B, K, 128]; masks [B, K]."""
+    return jax.vmap(
+        lambda a, b, ma, mb: match_descriptors(
+            a, b, ma, mb, dist_th, ratio_th, max_matches
+        )
+    )(d1, d2, mask1, mask2)
+
+
+def match_pair_host(feats1, feats2, dist_th=0.7, ratio_th=0.8):
+    """Convenience host wrapper on FrameFeatures-like (keypoints, descriptors)."""
+    n, m_ = len(feats1), len(feats2)
+    k = 1
+    while k < max(n, m_, 64):
+        k *= 2
+    d1 = np.zeros((k, 128), np.uint8)
+    d2 = np.zeros((k, 128), np.uint8)
+    d1[:n] = feats1
+    d2[:m_] = feats2
+    m1 = np.zeros(k, bool)
+    m1[:n] = True
+    m2 = np.zeros(k, bool)
+    m2[:m_] = True
+    matches, cnt, dists = match_descriptors(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m1), jnp.asarray(m2),
+        dist_th, ratio_th, min(k, 4096),
+    )
+    cnt = int(cnt)
+    out = np.asarray(matches)
+    out = out[out[:, 0] >= 0][:cnt]
+    return out.astype(np.int32), np.asarray(dists)[: len(out)]
