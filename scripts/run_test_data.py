@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""End-to-end smoke pipeline on a workspace directory.
+
+Mirrors the reference driver (scripts/run_test_data.py:27-56): matching
+stage then reconstruction stage (then optional tag scale), invoked through
+the same CLI surface as the individual tools.  Works on the synthetic
+dataset from synth_dataset.py or any workspace with images/ + camera.txt.
+
+Usage: python scripts/run_test_data.py <workspace> [--matching sequential]
+       [--estimate_scale]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from xrsfm_tpu import cli
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workspace")
+    ap.add_argument("--matching", default="sequential",
+                    choices=["sequential", "retrieval", "covisibility"])
+    ap.add_argument("--estimate_scale", action="store_true")
+    ap.add_argument("--tag_length", type=float, default=0.113)
+    a = ap.parse_args()
+
+    ws = a.workspace
+    images = os.path.join(ws, "images")
+    retrieval = os.path.join(ws, "retrieval.txt")
+    bin_dir = os.path.join(ws, "bins")
+    out_dir = os.path.join(ws, "model")
+
+    cli.main(["run_matching", images, retrieval, a.matching, bin_dir])
+    cli.main([
+        "run_reconstruction", bin_dir, os.path.join(ws, "camera.txt"), out_dir
+    ])
+    if a.estimate_scale:
+        cli.main([
+            "estimate_scale", images, out_dir, "--tag_length", str(a.tag_length)
+        ])
+
+
+if __name__ == "__main__":
+    main()

@@ -15,4 +15,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin in this environment overrides JAX_PLATFORMS from the
+# shell; only an explicit config update reliably forces the CPU backend
+# (and with it the 8-device virtual mesh from XLA_FLAGS above).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

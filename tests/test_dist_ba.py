@@ -1,0 +1,44 @@
+"""Distributed Schur-BA vs single-chip solver on the virtual 8-device mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from xrsfm_tpu.optim.ba import BAOptions, solve_ba, _residuals_only
+from xrsfm_tpu.parallel.dist_ba import solve_distributed
+from test_ba import build_problem, perturb, rms_px
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_matches_single_chip():
+    p0, _ = build_problem(n_cams=5, n_pts=80, noise_px=0.2, seed=42)
+    p_bad = perturb(p0, seed=43)
+    mesh = Mesh(np.array(jax.devices()), axis_names=("obs",))
+    p_dist, cost = solve_distributed(mesh, p_bad, max_iters=15)
+    assert np.isfinite(cost)
+    rms_dist = rms_px(p_dist)
+    p_single, _ = solve_ba(p_bad, BAOptions(max_iters=15, huber_px=4.0))
+    rms_single = rms_px(p_single)
+    # both should reach the noise floor
+    assert rms_dist < 0.6, rms_dist
+    assert abs(rms_dist - rms_single) < 0.2, (rms_dist, rms_single)
+
+
+def test_distributed_respects_gauge():
+    p0, _ = build_problem(n_cams=5, n_pts=60, noise_px=0.2, seed=44)
+    p_bad = perturb(p0, seed=45)
+    mesh = Mesh(np.array(jax.devices()), axis_names=("obs",))
+    p_dist, _ = solve_distributed(mesh, p_bad, max_iters=5)
+    np.testing.assert_allclose(
+        np.asarray(p_dist.cam_q[0]), np.asarray(p_bad.cam_q[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_dist.cam_t[1]), np.asarray(p_bad.cam_t[1]), atol=1e-6
+    )

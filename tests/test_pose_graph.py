@@ -1,0 +1,102 @@
+import numpy as np
+import jax.numpy as jnp
+
+from xrsfm_tpu.optim import pose_graph as PG
+from xrsfm_tpu.utils import geometry as G
+
+
+def _circle_trajectory(n=12, radius=5.0):
+    """Cameras on a circle looking inward (Tcw poses)."""
+    qs, ts = [], []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        center = np.array([radius * np.cos(ang), 0.0, radius * np.sin(ang)])
+        # look at origin
+        z = -center / np.linalg.norm(center)
+        x = np.cross([0, 1.0, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        q = np.asarray(
+            G.rotmat_to_quat(jnp.asarray(R, jnp.float32))
+        )
+        qs.append(q)
+        ts.append(-R @ center)
+    return np.asarray(qs, np.float32), np.asarray(ts, np.float32)
+
+
+def test_pose_graph_recovers_scale_drift():
+    n = 12
+    q_gt, t_gt = _circle_trajectory(n)
+    # inject monocular scale drift: each trajectory STEP is scaled by a
+    # growing factor (relative translation directions preserved) — the
+    # regime the per-frame-scale pose graph models
+    R_all = np.asarray(G.quat_to_rotmat(jnp.asarray(q_gt)))
+    c_gt = np.stack([-R_all[i].T @ t_gt[i] for i in range(n)])
+    growth = np.linspace(1.0, 1.8, n - 1)
+    c_drift = [c_gt[0]]
+    for i in range(n - 1):
+        step = c_gt[i + 1] - c_gt[i]
+        c_drift.append(c_drift[-1] + step * growth[i])
+    c_drift = np.stack(c_drift)
+    t_drift = np.stack(
+        [-R_all[i] @ c_drift[i] for i in range(n)]
+    ).astype(np.float32)
+
+    # dense covisibility edges (1/2/3-hop) measured from the DRIFTED poses
+    # — a chain alone leaves the per-frame scales underdetermined, exactly
+    # like real maps where covisibility spans several frames
+    pairs = (
+        [(i, i + 1) for i in range(n - 1)]
+        + [(i, i + 2) for i in range(n - 2)]
+        + [(i, i + 3) for i in range(n - 3)]
+    )
+    e_i, e_j, e_q, e_t, e_ls, e_w = PG.build_edges_from_poses(
+        q_gt, t_drift, pairs
+    )
+    # loop edges measured from the TRUE poses (loop closure observations)
+    loop_pairs = [(n - 1, 0), (n - 1, 1), (n - 2, 0)]
+    li, lj, lq, lt, lls, lw = PG.build_edges_from_poses(
+        q_gt, t_gt, loop_pairs, weights=[4.0] * len(loop_pairs)
+    )
+    prob = PG.PoseGraphProblem(
+        q=jnp.asarray(q_gt),
+        t=jnp.asarray(t_drift),
+        log_s=jnp.zeros(n, jnp.float32),
+        e_i=jnp.asarray(np.concatenate([e_i, li])),
+        e_j=jnp.asarray(np.concatenate([e_j, lj])),
+        e_rot=jnp.asarray(np.concatenate([e_q, lq])),
+        e_trans=jnp.asarray(np.concatenate([e_t, lt])),
+        e_logs=jnp.asarray(np.concatenate([e_ls, lls])),
+        e_w=jnp.asarray(np.concatenate([e_w, lw])),
+        fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
+    )
+    t_new, s_new, cost = PG.solve_pose_graph(prob, iters=40)
+    # centers should be closer to GT than the drifted start
+    t_new = np.asarray(t_new)
+    def centers(q, t):
+        R = np.asarray(G.quat_to_rotmat(jnp.asarray(q)))
+        return np.stack([-R[i].T @ t[i] for i in range(n)])
+    c_gt = centers(q_gt, t_gt)
+    err_before = np.linalg.norm(centers(q_gt, t_drift) - c_gt, axis=1).mean()
+    err_after = np.linalg.norm(centers(q_gt, t_new) - c_gt, axis=1).mean()
+    assert err_after < 0.25 * err_before, (err_before, err_after)
+
+
+def test_pose_graph_consistent_is_fixed_point():
+    n = 8
+    q_gt, t_gt = _circle_trajectory(n)
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    e_i, e_j, e_q, e_t, e_ls, e_w = PG.build_edges_from_poses(q_gt, t_gt, pairs)
+    prob = PG.PoseGraphProblem(
+        q=jnp.asarray(q_gt), t=jnp.asarray(t_gt),
+        log_s=jnp.zeros(n, jnp.float32),
+        e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+        e_rot=jnp.asarray(e_q), e_trans=jnp.asarray(e_t),
+        e_logs=jnp.asarray(e_ls), e_w=jnp.asarray(e_w),
+        fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
+    )
+    t_new, s_new, cost = PG.solve_pose_graph(prob, iters=10)
+    np.testing.assert_allclose(np.asarray(t_new), t_gt, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_new), 1.0, atol=1e-3)
+    assert float(cost) < 1e-6

@@ -10,3 +10,15 @@ with multi-chip scale-out expressed via jax.sharding meshes.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "/root/.cache/xrsfm_tpu_jax"):
+    """Enable JAX's persistent compilation cache — first-compile of the
+    big kernels (SIFT pyramid, BA step) is minutes on a small host, and
+    the cache makes it once-ever per shape."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+

@@ -1,0 +1,294 @@
+"""Covisibility-based match expansion (EC-SfM).
+
+(reference: src/feature/match_expansion.{h,cc} + ExpansionAndMatching,
+src/feature/feature_processing.cc:324-377; run_matching.cc "covisibility"
+branch :214-253)
+
+The reference's algorithm, per iteration:
+  (a) BFS the current pair graph from the init pair (GetConnectedFrames,
+      match_expansion.cc:479-515);
+  (b) SimulationSfM — a *simulated* incremental reconstruction over the
+      correspondence graph marking which features would triangulate,
+      yielding potentially-registrable frames at thresholds 30 and 100
+      (:534-623);
+  (c) propose covisibility candidates: connected pairs with few existing
+      matches that share >= 2 transitive tracks landing in the same
+      10x10-grid patch on both sides (GetCandidateCovisibility :660-766);
+  (d) propose retrieval candidates for yet-unconnected frames with enough
+      retrieval votes from registered frames (GetMayreg :625-658 +
+      GetCandidateSimilarity :381-400);
+then descriptor-match + F-verify the proposed pairs and repeat.
+
+Host-side graph logic (cheap, irregular); all matching/verification runs on
+device through feature.matching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from . import matching as fmatch
+from ..utils.io_features import FrameFeatures, FramePairData, read_frame_pairs, write_frame_pairs
+
+_NUM_PATCH = 10  # reference: _Np_, match_expansion.h:14
+_MIN_COVIS_FEATURES = 2  # reference: _T_, match_expansion.h:13
+_MAX_EXISTING_MATCHES = 50  # reference: match_expansion.cc:660-741
+_NUM_ITERATIONS = 5  # reference: feature_processing.cc:324-377
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+class MatchMapLite:
+    """Union-find track structure over (frame, p2d) nodes + patch grid.
+    (reference: MatchMap, match_expansion.h:21-96)."""
+
+    def __init__(self, features: Sequence[FrameFeatures], sizes=None):
+        self.nf = len(features)
+        self.uf = _UnionFind()
+        self.kps = [f.keypoints[:, :2] for f in features]
+        self.patch = []
+        for i, f in enumerate(features):
+            if len(f.keypoints) == 0:
+                self.patch.append(np.zeros(0, np.int32))
+                continue
+            kp = f.keypoints[:, :2]
+            w = max(kp[:, 0].max(), 1.0) if sizes is None else sizes[i][0]
+            h = max(kp[:, 1].max(), 1.0) if sizes is None else sizes[i][1]
+            px = np.clip((kp[:, 0] / (w + 1e-6) * _NUM_PATCH), 0, _NUM_PATCH - 1)
+            py = np.clip((kp[:, 1] / (h + 1e-6) * _NUM_PATCH), 0, _NUM_PATCH - 1)
+            self.patch.append((py.astype(np.int32) * _NUM_PATCH + px.astype(np.int32)))
+        self.pairs: Dict[Tuple[int, int], int] = {}  # (id1,id2) -> n_matches
+        self.adj: Dict[int, Set[int]] = {}
+
+    def _node(self, frame: int, p2d: int) -> int:
+        return frame * (1 << 22) + p2d
+
+    def add_pair(self, p: FramePairData):
+        key = (min(p.id1, p.id2), max(p.id1, p.id2))
+        self.pairs[key] = len(p.matches)
+        self.adj.setdefault(p.id1, set()).add(p.id2)
+        self.adj.setdefault(p.id2, set()).add(p.id1)
+        inl = p.inlier_matches() if p.inlier_mask is not None else p.matches
+        for a, b in inl:
+            self.uf.union(self._node(p.id1, int(a)), self._node(p.id2, int(b)))
+
+    def connected_frames(self, seed: int) -> Set[int]:
+        """BFS over the pair graph (reference: GetConnectedFrames)."""
+        seen = {seed}
+        stack = [seed]
+        while stack:
+            f = stack.pop()
+            for g in self.adj.get(f, ()):
+                if g not in seen:
+                    seen.add(g)
+                    stack.append(g)
+        return seen
+
+    def frame_tracks(self, frame: int) -> Dict[int, int]:
+        """track root -> p2d for a frame's matched features."""
+        out = {}
+        for p2d in range(len(self.kps[frame])):
+            node = self._node(frame, p2d)
+            if node in self.uf.parent:
+                out[self.uf.find(node)] = p2d
+        return out
+
+    def simulate_sfm(self, init_pair: Tuple[int, int], threshold: int) -> Set[int]:
+        """Simulated incremental registration: a frame is registrable when
+        it sees >= threshold already-triangulated tracks
+        (reference: SimulationSfM, match_expansion.cc:534-601)."""
+        tri: Set[int] = set()
+        registered: Set[int] = set(init_pair)
+        frame_track_cache = {f: self.frame_tracks(f) for f in range(self.nf)}
+        for f in init_pair:
+            tri.update(frame_track_cache[f].keys())
+        changed = True
+        while changed:
+            changed = False
+            best, best_cnt = -1, threshold - 1
+            for f in range(self.nf):
+                if f in registered:
+                    continue
+                cnt = sum(1 for r in frame_track_cache[f] if r in tri)
+                if cnt > best_cnt:
+                    best, best_cnt = f, cnt
+            if best >= 0:
+                registered.add(best)
+                tri.update(frame_track_cache[best].keys())
+                changed = True
+        return registered
+
+
+def _covisibility_candidates(
+    mm: MatchMapLite,
+    connected: Set[int],
+    registered: Set[int],
+    id2rank: Dict[int, List[int]],
+) -> List[Tuple[int, int]]:
+    """(reference: GetCandidateCovisibility, match_expansion.cc:660-766)."""
+    out = []
+    frame_tracks = {f: mm.frame_tracks(f) for f in connected}
+    for id1 in connected:
+        ranks = id2rank.get(id1, [])
+        for id2 in ranks:
+            if id2 not in connected or id1 == id2:
+                continue
+            if id1 not in registered and id2 not in registered:
+                continue
+            key = (min(id1, id2), max(id1, id2))
+            if mm.pairs.get(key, 0) > _MAX_EXISTING_MATCHES:
+                continue
+            if key in mm.pairs and mm.pairs[key] > 0 and key in out:
+                continue
+            t1 = frame_tracks[id1]
+            t2 = frame_tracks[id2]
+            common = t1.keys() & t2.keys()
+            if len(common) < _MIN_COVIS_FEATURES:
+                continue
+            # patch test: >= 2 common tracks landing in the same patch on
+            # both sides
+            groups: Dict[Tuple[int, int], int] = {}
+            ok = False
+            for r in common:
+                g = (int(mm.patch[id1][t1[r]]), int(mm.patch[id2][t2[r]]))
+                groups[g] = groups.get(g, 0) + 1
+                if groups[g] >= _MIN_COVIS_FEATURES:
+                    ok = True
+                    break
+            if ok:
+                out.append(key)
+    return sorted(set(out))
+
+
+def _mayreg_candidates(
+    mm: MatchMapLite,
+    connected: Set[int],
+    registered: Set[int],
+    id2rank: Dict[int, List[int]],
+) -> List[Tuple[int, int]]:
+    """(reference: GetMayreg :625-658 + GetCandidateSimilarity :381-400)."""
+    votes25: Dict[int, int] = {}
+    votes50: Dict[int, int] = {}
+    for r in registered:
+        for rank, j in enumerate(id2rank.get(r, [])):
+            if j in connected:
+                continue
+            if rank < 25:
+                votes25[j] = votes25.get(j, 0) + 1
+            if rank < 50:
+                votes50[j] = votes50.get(j, 0) + 1
+    mayreg = {
+        j for j in set(votes25) | set(votes50)
+        if votes25.get(j, 0) >= 15 or votes50.get(j, 0) >= 35
+    }
+    out = []
+    for j in mayreg:
+        for rank, r in enumerate(id2rank.get(j, [])):
+            if rank >= 40:
+                break
+            if r in registered:
+                out.append((min(j, r), max(j, r)))
+    return sorted(set(out))
+
+
+def get_init_id(pairs: List[FramePairData]) -> Tuple[int, int]:
+    """Most-connected verified pair with >= 100 inliers
+    (reference: GetInitId, run_matching.cc:92-123)."""
+    deg: Dict[int, int] = {}
+    for p in pairs:
+        deg[p.id1] = deg.get(p.id1, 0) + 1
+        deg[p.id2] = deg.get(p.id2, 0) + 1
+    best, best_score = None, -1
+    for p in pairs:
+        if p.inlier_num < 100 and best is not None:
+            continue
+        score = deg.get(p.id1, 0) + deg.get(p.id2, 0) + p.inlier_num * 1e-6
+        if score > best_score:
+            best, best_score = (p.id1, p.id2), score
+    return best if best else (0, 1)
+
+
+def covisibility_matching(
+    features: Sequence[FrameFeatures],
+    id2rank: Dict[int, List[int]],
+    opts: fmatch.MatchingOptions = fmatch.MatchingOptions(),
+    init_pairs_path: str = "",
+    num_iterations: int = _NUM_ITERATIONS,
+    init_topk: int = 5,
+    verbose: bool = True,
+) -> List[FramePairData]:
+    """Full EC-SfM covisibility matching
+    (reference: run_matching.cc "covisibility" branch + ExpansionAndMatching)."""
+    # seed pairs: top-k retrieval (cached like fp_init.bin)
+    if init_pairs_path and os.path.exists(init_pairs_path):
+        verified = read_frame_pairs(init_pairs_path)
+    else:
+        seed_pairs = fmatch.retrieval_pairs(id2rank, init_topk)
+        verified = fmatch.match_and_verify_pairs(
+            features, seed_pairs, opts, verbose=verbose
+        )
+        if init_pairs_path:
+            write_frame_pairs(init_pairs_path, verified)
+    matched: Set[Tuple[int, int]] = {
+        (min(p.id1, p.id2), max(p.id1, p.id2)) for p in verified
+    }
+    init_pair = get_init_id(verified)
+
+    mm = MatchMapLite(features)
+    for p in verified:
+        mm.add_pair(p)
+
+    for it in range(num_iterations):
+        t0 = time.time()
+        connected = mm.connected_frames(init_pair[0])
+        reg30 = mm.simulate_sfm(init_pair, 30)
+        reg100 = mm.simulate_sfm(init_pair, 100)
+        cands = _covisibility_candidates(mm, connected, reg100, id2rank)
+        cands += _mayreg_candidates(mm, connected, reg30, id2rank)
+        cands = [c for c in sorted(set(cands)) if c not in matched]
+        if verbose:
+            print(
+                f"[expansion] iter {it + 1}: {len(connected)} connected, "
+                f"{len(reg30)}/{len(reg100)} registrable(30/100), "
+                f"{len(cands)} new candidates "
+                f"({time.time() - t0:.1f}s search)",
+                flush=True,
+            )
+        if not cands:
+            break
+        new_pairs = fmatch.match_and_verify_pairs(
+            features, cands, opts, verbose=verbose
+        )
+        matched.update(cands)
+        for p in new_pairs:
+            mm.add_pair(p)
+        verified.extend(new_pairs)
+        if verbose:
+            precision = len(new_pairs) / max(len(cands), 1)
+            print(
+                f"[expansion] iter {it + 1}: {len(new_pairs)}/{len(cands)} "
+                f"verified (precision {precision:.2f})",
+                flush=True,
+            )
+    return verified

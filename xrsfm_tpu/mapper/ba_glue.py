@@ -27,8 +27,9 @@ class BAGlueResult:
     iters: int
 
 
-def _collect(m: SfMMap, opt_frames: Sequence[int]):
+def _collect(m: SfMMap, opt_frames: Sequence[int], obs_frames=None):
     opt_set = set(int(f) for f in opt_frames)
+    allowed = None if obs_frames is None else set(int(f) for f in obs_frames)
     tracks = set()
     for f in opt_set:
         for tid in m.track_of[f]:
@@ -39,6 +40,8 @@ def _collect(m: SfMMap, opt_frames: Sequence[int]):
     obs_rows = []
     for tid in tracks:
         for f, p in m.track_obs[tid].items():
+            if allowed is not None and int(f) not in allowed:
+                continue
             frames.add(int(f))
             obs_rows.append((int(f), int(tid), int(p)))
     return sorted(frames), sorted(tracks), obs_rows
@@ -49,11 +52,14 @@ def build_problem(
     opt_frames: Sequence[int],
     fix_all_poses: bool = False,
     gauge_frames: Optional[Sequence[int]] = None,
+    obs_frames: Optional[Sequence[int]] = None,
 ):
     """Build a padded BAProblem.  Frames not in opt_frames (but observing
     shared tracks) enter with frozen poses — the reference holds non-local
-    frames constant in LBA the same way (ba_solver.cc:358-391)."""
-    frames, tracks, obs_rows = _collect(m, opt_frames)
+    frames constant in LBA the same way (ba_solver.cc:358-391).
+    obs_frames restricts which frames contribute observations (KGBA uses
+    keyframes only, ba_solver.cc:640-678)."""
+    frames, tracks, obs_rows = _collect(m, opt_frames, obs_frames)
     if not obs_rows:
         return None, None, None
     fmap = {f: i for i, f in enumerate(frames)}
@@ -127,11 +133,13 @@ def run_ba(
     opt_frames: Sequence[int],
     opts: BAOptions = BAOptions(),
     fix_all_poses: bool = False,
+    obs_frames: Optional[Sequence[int]] = None,
 ) -> Optional[BAGlueResult]:
     """Build, solve, write back."""
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
     prob, frames, tracks = build_problem(
-        m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge
+        m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
+        obs_frames=obs_frames,
     )
     if prob is None:
         return None

@@ -33,6 +33,9 @@ class MapperOptions:
         default_factory=triangulate.TriOptions
     )
     # reference defaults: th_rpe_lba 16, th_rpe_gba 16 (incremental_mapper.h)
+    # drift/loop error correction (reference: correct_pose option,
+    # incremental_mapper.h:14-24; enabled for KITTI)
+    correct_pose: bool = False
     lba_iters: int = 5
     gba_iters: int = 20
     lba_frames: int = 5  # covisibility neighbors included in LBA
@@ -52,6 +55,7 @@ class MapperStats:
     time_register: float = 0.0
     time_triangulate: float = 0.0
     time_filter: float = 0.0
+    time_check: float = 0.0
     time_merge: float = 0.0
     time_lba: float = 0.0
     time_gba: float = 0.0
@@ -102,6 +106,16 @@ class IncrementalMapper:
                 continue
             self.stats.registered += 1
 
+            if o.correct_pose:
+                from . import error_correct as EC
+
+                t0 = time.time()
+                if EC.check_and_correct_pose(
+                    m, nxt, reg_opts=o.reg, tri_opts=o.tri
+                ):
+                    self._log(f"frame {nxt}: loop error corrected")
+                self.stats.time_check += time.time() - t0
+
             t0 = time.time()
             n_new, n_ext = triangulate.triangulate_frame(m, nxt, o.tri)
             self.stats.time_triangulate += time.time() - t0
@@ -132,18 +146,18 @@ class IncrementalMapper:
 
             if n_reg >= o.gba_growth * num_reg_at_gba:
                 t0 = time.time()
-                reg_frames = list(np.nonzero(m.registered)[0])
-                gres = ba_glue.run_ba(
+                from . import keyframe as KF
+
+                gres = KF.kgba(
                     m,
-                    reg_frames,
                     BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+                    tri_opts=o.tri,
                 )
-                triangulate.filter_tracks(m, None, o.tri)
                 self.stats.time_gba += time.time() - t0
                 num_reg_at_gba = n_reg
                 if gres is not None:
                     self._log(
-                        f"GBA over {n_reg} frames: cost "
+                        f"KGBA over {n_reg} frames: cost "
                         f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
                     )
 

@@ -1,0 +1,39 @@
+"""1DSfM unordered-scene reconstruction (reference: src/rec_1dsfm.cc:14-98).
+
+Per-image SIMPLE_RADIAL cameras from camera_info.txt; cameras with zero
+distortion are marked invalid in the reference (rec_1dsfm.cc:46-55) — here
+frames without a camera entry get a default camera and still participate.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..base.colmap_bridge import map_to_colmap
+from ..mapper import IncrementalMapper, MapperOptions
+from ..utils import io_colmap as IOC
+from . import run_reconstruction as RR
+
+
+def main(bin_dir: str, camera_info_path: str, output_dir: str):
+    t0 = time.time()
+    name2cid, cams = IOC.read_camera_info(camera_info_path)
+    m = RR.build_map(
+        bin_dir, camera_per_image=cams, name2cid=name2cid
+    )
+    opts = MapperOptions()
+    # reference: tighter GBA threshold (4px) for internet scenes
+    opts.tri.filter_px = 4.0
+    mapper = IncrementalMapper(opts)
+    ok = mapper.reconstruct(m)
+    if not ok:
+        print("[rec_1dsfm] reconstruction failed", flush=True)
+        return None
+    n_img, n_pts = map_to_colmap(m, output_dir)
+    print(
+        f"[rec_1dsfm] {n_img} images, {n_pts} points in "
+        f"{time.time() - t0:.1f}s",
+        flush=True,
+    )
+    return m

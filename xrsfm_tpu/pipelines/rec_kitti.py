@@ -1,0 +1,62 @@
+"""KITTI odometry reconstruction (reference: src/rec_kitti.cc:14-115).
+
+Hardcoded per-sequence PINHOLE intrinsics as in the reference
+(rec_kitti.cc:24-30, sequence->camera map :87-89), sequential mapping with
+pose error correction enabled, TUM trajectory output via timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..base.colmap_bridge import map_to_colmap, write_trajectory
+from ..mapper import IncrementalMapper, MapperOptions
+from ..utils import camera as Cam
+from ..utils import io_colmap as IOC
+from . import run_reconstruction as RR
+
+# reference: rec_kitti.cc:24-30 — three KITTI camera calibrations
+_KITTI_CAMERAS = {
+    0: [718.856, 718.856, 607.1928, 185.2157],  # seq 00-02
+    1: [721.5377, 721.5377, 609.5593, 172.854],  # seq 03
+    2: [707.0912, 707.0912, 601.8873, 183.1104],  # seq 04-12
+}
+
+
+def camera_for_sequence(seq: int):
+    if seq <= 2:
+        return _KITTI_CAMERAS[0]
+    if seq == 3:
+        return _KITTI_CAMERAS[1]
+    return _KITTI_CAMERAS[2]
+
+
+def main(bin_dir: str, seq_name: str, output_dir: str, timestamp_path: str = ""):
+    t0 = time.time()
+    seq = int(seq_name)
+    params = camera_for_sequence(seq)
+    # write a camera.txt the generic path can consume
+    os.makedirs(output_dir, exist_ok=True)
+    cam_txt = os.path.join(output_dir, "camera.txt")
+    with open(cam_txt, "w") as f:
+        f.write(f"0 PINHOLE 1241 376 {params[0]} {params[1]} {params[2]} {params[3]}\n")
+    opts = MapperOptions()
+    opts.correct_pose = True  # KITTI path enables drift correction
+    m = RR.build_map(bin_dir, cam_txt)
+    mapper = IncrementalMapper(opts)
+    ok = mapper.reconstruct(m)
+    if not ok:
+        print("[rec_kitti] reconstruction failed", flush=True)
+        return None
+    map_to_colmap(m, output_dir)
+    stamps = None
+    if timestamp_path and os.path.exists(timestamp_path):
+        all_stamps = IOC.load_timestamps(timestamp_path)
+        step = max(1, int(len(all_stamps) / max(m.num_frames, 1) + 0.1))
+        stamps = [all_stamps[min(step * i, len(all_stamps) - 1)] for i in range(m.num_frames)]
+    write_trajectory(m, os.path.join(output_dir, f"{seq_name}.txt"), stamps)
+    print(f"[rec_kitti] seq {seq_name} done in {time.time() - t0:.1f}s", flush=True)
+    return m

@@ -1,0 +1,131 @@
+"""Matching stage pipeline (reference: src/run_matching.cc:153-258).
+
+Usage: python -m xrsfm_tpu.cli run_matching <images_dir> <retrieval_path>
+       <matching_type> <output_dir>
+
+matching_type: sequential | retrieval | covisibility
+Caches ftr.bin / size.bin / fp_init.bin like the reference
+(run_matching.cc:25-31,57-59).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..feature import matching as fmatch
+from ..ops.sift import SiftExtractor, SiftOptions
+from ..utils import io_features as IOF
+
+
+# moderate default vs the reference's 8192-feature upsampled config
+# (sift_extractor.h:36-107): bounded compile time on small hosts; callers
+# can pass the full config explicitly.
+DEFAULT_SIFT = SiftOptions(
+    num_octaves=4, features_per_octave=1024, max_features=4096, first_octave=0
+)
+
+
+def get_features(
+    images_dir: str, ftr_path: str, image_names: List[str], verbose=True,
+    sift_opts: SiftOptions = DEFAULT_SIFT,
+) -> List[IOF.FrameFeatures]:
+    """Extract (or load cached) SIFT features.
+    (reference: GetFeatures, run_matching.cc:15-33)."""
+    if os.path.exists(ftr_path):
+        feats = IOF.read_features(ftr_path)
+        if len(feats) == len(image_names):
+            return feats
+    import cv2
+
+    ex = SiftExtractor(sift_opts)
+    feats = []
+    t0 = time.time()
+    for i, name in enumerate(image_names):
+        img = cv2.imread(os.path.join(images_dir, name), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            feats.append(
+                IOF.FrameFeatures(name, np.zeros((0, 4), np.float32),
+                                  np.zeros((0, 128), np.uint8))
+            )
+            continue
+        kps, descs = ex.extract(img)
+        feats.append(IOF.FrameFeatures(name, kps, descs))
+        if verbose:
+            print(f"[extract] {i + 1}/{len(image_names)} {name}: "
+                  f"{len(kps)} features", flush=True)
+    if verbose:
+        print(f"[extract] total {time.time() - t0:.1f}s", flush=True)
+    IOF.write_features(ftr_path, feats)
+    return feats
+
+
+def get_image_sizes(images_dir, size_path, image_names):
+    if os.path.exists(size_path):
+        sizes = IOF.read_image_size(size_path)
+        if len(sizes) == len(image_names):
+            return sizes
+    import cv2
+
+    sizes = np.zeros((len(image_names), 2), np.int32)
+    for i, name in enumerate(image_names):
+        img = cv2.imread(os.path.join(images_dir, name), cv2.IMREAD_GRAYSCALE)
+        if img is not None:
+            sizes[i] = [img.shape[1], img.shape[0]]
+    IOF.write_image_size(size_path, sizes)
+    return sizes
+
+
+def main(
+    images_dir: str,
+    retrieval_path: str,
+    matching_type: str,
+    output_dir: str,
+    opts: Optional[fmatch.MatchingOptions] = None,
+):
+    opts = opts or fmatch.MatchingOptions()
+    os.makedirs(output_dir, exist_ok=True)
+    image_names = IOF.load_image_names(images_dir)
+    name_to_id = {n: i for i, n in enumerate(image_names)}
+
+    feats = get_features(images_dir, os.path.join(output_dir, "ftr.bin"), image_names)
+    get_image_sizes(images_dir, os.path.join(output_dir, "size.bin"), image_names)
+
+    id2rank = {}
+    if retrieval_path and os.path.exists(retrieval_path):
+        id2rank = IOF.load_retrieval_rank(retrieval_path, name_to_id)
+
+    t0 = time.time()
+    if matching_type == "sequential":
+        pairs = fmatch.sequential_pairs(len(image_names), opts)
+        # loop-closure probes every Nth frame against retrieval neighbors
+        # (reference: MatchingSeq, run_matching.cc:125-151)
+        for i in range(0, len(image_names), opts.seq_loop_stride):
+            for j in id2rank.get(i, [])[: opts.retrieval_topk]:
+                if abs(i - j) >= opts.seq_window:
+                    pairs.append((min(i, j), max(i, j)))
+        pairs = sorted(set(pairs))
+        verified = fmatch.match_and_verify_pairs(feats, pairs, opts)
+    elif matching_type == "retrieval":
+        pairs = fmatch.retrieval_pairs(id2rank, opts.retrieval_topk)
+        verified = fmatch.match_and_verify_pairs(feats, pairs, opts)
+    elif matching_type == "covisibility":
+        from ..feature.expansion import covisibility_matching
+
+        verified = covisibility_matching(
+            feats, id2rank, opts,
+            init_pairs_path=os.path.join(output_dir, "fp_init.bin"),
+        )
+    else:
+        raise ValueError(f"unknown matching type {matching_type}")
+
+    IOF.write_frame_pairs(os.path.join(output_dir, "fp.bin"), verified)
+    print(
+        f"[matching] {matching_type}: {len(verified)} verified pairs "
+        f"in {time.time() - t0:.1f}s -> {output_dir}/fp.bin",
+        flush=True,
+    )
+    return verified
