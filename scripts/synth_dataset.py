@@ -32,28 +32,67 @@ def look_at_R(center, target):
     return np.stack([x, y, z])
 
 
-def render(pts, colors, sigmas, R, t, f, cx, cy, w, h):
-    img = np.zeros((h, w), np.float32)
-    pc = pts @ R.T + t
-    z = pc[:, 2]
-    vis = z > 0.2
-    uv = pc[vis, :2] / pc[vis, 2:3] * f + [cx, cy]
-    s_px = sigmas[vis] * f / z[vis]
-    c = colors[vis]
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    order = np.argsort(-z[vis])  # far to near
-    for i in order:
-        u, v = uv[i]
-        s = max(s_px[i], 0.8)
-        if u < -3 * s or u > w + 3 * s or v < -3 * s or v > h + 3 * s:
-            continue
-        y0, y1 = int(max(0, v - 3 * s)), int(min(h, v + 3 * s + 1))
-        x0, x1 = int(max(0, u - 3 * s)), int(min(w, u + 3 * s + 1))
-        g = np.exp(
-            -((yy[y0:y1, x0:x1] - v) ** 2 + (xx[y0:y1, x0:x1] - u) ** 2)
-            / (2 * s * s)
-        )
-        img[y0:y1, x0:x1] = img[y0:y1, x0:x1] * (1 - g) + c[i] * g
+def make_textures(rng, res=1024, smooth=3):
+    """Random smooth textures for the wall and floor planes."""
+    try:
+        import cv2
+
+        def tex():
+            t = rng.uniform(0, 1, (res, res)).astype(np.float32)
+            t = cv2.GaussianBlur(t, (0, 0), smooth)
+            t = (t - t.min()) / (t.max() - t.min() + 1e-9)
+            return t
+    except ImportError:
+        def tex():
+            return rng.uniform(0, 1, (res, res)).astype(np.float32)
+
+    return tex(), tex()
+
+
+def render_planes(tex_wall, tex_floor, R, t, f, cx, cy, w, h,
+                  wall_z=6.8, floor_y=1.8, extent=8.0):
+    """Ray-cast two textured Lambertian planes — every pixel observes a
+    fixed 3D point, so features are fully view-consistent (a blob splat
+    compositor creates parallax 'virtual features' that break SfM GT
+    evaluation)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    dirs_cam = np.stack(
+        [(xx - cx) / f, (yy - cy) / f, np.ones_like(xx)], axis=-1
+    )  # [h,w,3]
+    Rt = R.T
+    dirs = dirs_cam @ Rt.T  # world ray directions
+    origin = -Rt @ t
+
+    def sample(tex, uu, vv):
+        res = tex.shape[0]
+        ui = np.clip((uu * (res - 1)).astype(np.int64), 0, res - 1)
+        vi = np.clip((vv * (res - 1)).astype(np.int64), 0, res - 1)
+        return tex[vi, ui]
+
+    img = np.zeros((h, w), np.float64)
+    depth = np.full((h, w), np.inf)
+
+    # wall: plane z = wall_z
+    dz = dirs[..., 2]
+    s = np.where(np.abs(dz) > 1e-9, (wall_z - origin[2]) / dz, -1.0)
+    hit = s > 0.2
+    px = origin[None, None, :] + s[..., None] * dirs
+    uu = (px[..., 0] + extent / 2) / extent
+    vv = (px[..., 1] + extent / 2) / extent
+    ok = hit & (uu >= 0) & (uu < 1) & (vv >= 0) & (vv < 1) & (s < depth)
+    img = np.where(ok, sample(tex_wall, uu, vv), img)
+    depth = np.where(ok, s, depth)
+
+    # floor: plane y = floor_y
+    dy = dirs[..., 1]
+    s = np.where(np.abs(dy) > 1e-9, (floor_y - origin[1]) / dy, -1.0)
+    hit = (s > 0.2)
+    px = origin[None, None, :] + s[..., None] * dirs
+    uu = (px[..., 0] + extent / 2) / extent
+    vv = px[..., 2] / extent
+    ok = hit & (uu >= 0) & (uu < 1) & (vv >= 0) & (vv < 1) & (s < depth)
+    img = np.where(ok, sample(tex_floor, uu, vv), img)
+
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
@@ -63,21 +102,7 @@ def main(out_dir, n_cams=8, n_pts=400, seed=3, w=512, h=384, f=450.0):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     cx, cy = w / 2, h / 2
-    # blobs on a wall at z in [6, 9] + floor
-    pts = np.concatenate(
-        [
-            np.stack(
-                [rng.uniform(-4, 4, n_pts // 2), rng.uniform(-2, 2, n_pts // 2),
-                 rng.uniform(6, 7, n_pts // 2)], -1,
-            ),
-            np.stack(
-                [rng.uniform(-4, 4, n_pts // 2), np.full(n_pts // 2, 1.8),
-                 rng.uniform(2.5, 7, n_pts // 2)], -1,
-            ),
-        ]
-    )
-    colors = rng.uniform(0.25, 1.0, len(pts))
-    sigmas = rng.uniform(0.02, 0.05, len(pts))
+    tex_wall, tex_floor = make_textures(rng)
 
     names = []
     poses = []
@@ -86,17 +111,17 @@ def main(out_dir, n_cams=8, n_pts=400, seed=3, w=512, h=384, f=450.0):
         center = np.array([3.5 * np.sin(ang), 0.25 * np.sin(2.2 * i), 3.5 * (1 - np.cos(ang))])
         R = look_at_R(center, [0.0, 0.0, 6.5])
         t = -R @ center
-        img = render(pts, colors, sigmas, R, t, f, cx, cy, w, h)
+        img = render_planes(tex_wall, tex_floor, R, t, f, cx, cy, w, h)
         name = f"frame{i:04d}.png"
         cv2.imwrite(os.path.join(out_dir, "images", name), img)
         names.append(name)
-        # quaternion from R
-        tr = np.trace(R)
-        qw = np.sqrt(max(0, 1 + tr)) / 2
-        q = np.array(
-            [qw, (R[2, 1] - R[1, 2]) / (4 * qw), (R[0, 2] - R[2, 0]) / (4 * qw),
-             (R[1, 0] - R[0, 1]) / (4 * qw)]
-        )
+        # robust branch-free quaternion conversion (the naive
+        # qw=sqrt(1+tr)/2 form divides by ~0 for 180-degree rotations)
+        import jax.numpy as jnp
+
+        from xrsfm_tpu.utils import geometry as G
+
+        q = np.asarray(G.rotmat_to_quat(jnp.asarray(R, jnp.float64).astype(jnp.float32)))
         poses.append((q / np.linalg.norm(q), t))
     with open(os.path.join(out_dir, "camera.txt"), "w") as fh:
         fh.write(f"0 PINHOLE {w} {h} {f} {f} {cx} {cy}\n")

@@ -142,3 +142,27 @@ def test_ba_robust_to_outliers():
     # inlier residuals should sit at the noise floor despite the outliers
     med = np.median(rn[~bad])
     assert med < 0.8, med
+
+
+def test_analytic_jacobians_match_autodiff():
+    from xrsfm_tpu.optim.ba import (
+        _residuals_and_jacobians,
+        _residuals_and_jacobians_ad,
+    )
+
+    p0, _ = build_problem(n_cams=3, n_pts=40, noise_px=0.5, seed=21)
+    # use a distorting camera to exercise the distortion Jacobian
+    from xrsfm_tpu.utils import camera as C
+    import jax.numpy as jnp
+
+    intri = np.tile(
+        C.canonicalize_params(C.OPENCV, [500.0, 505.0, 320, 240, 0.05, -0.01, 0.001, -0.002]),
+        (3, 1),
+    ).astype(np.float32)
+    p0 = dataclasses.replace(p0, cam_intri=jnp.asarray(intri))
+    r1, z1, Jc1, Jp1 = _residuals_and_jacobians(p0)
+    r2, z2, Jc2, Jp2 = _residuals_and_jacobians_ad(p0)
+    np.testing.assert_allclose(r1, r2, atol=1e-3)
+    np.testing.assert_allclose(z1, z2, atol=1e-5)
+    np.testing.assert_allclose(Jc1, Jc2, atol=2e-2, rtol=1e-3)
+    np.testing.assert_allclose(Jp1, Jp2, atol=2e-2, rtol=1e-3)

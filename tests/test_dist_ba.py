@@ -42,3 +42,25 @@ def test_distributed_respects_gauge():
     np.testing.assert_allclose(
         np.asarray(p_dist.cam_t[1]), np.asarray(p_bad.cam_t[1]), atol=1e-6
     )
+
+
+def test_sharded_matching_matches_single_device():
+    from jax.sharding import Mesh
+    from xrsfm_tpu.ops import matching as dmatch
+    from xrsfm_tpu.parallel.dist_matching import match_pairs_sharded
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    F, K = 6, 128
+    descs = rng.integers(0, 90, size=(F, K, 128), dtype=np.uint8)
+    masks = np.ones((F, K), bool)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    mesh = Mesh(np.array(jax.devices()), axis_names=("pairs",))
+    m_sh, c_sh, _ = match_pairs_sharded(mesh, descs, masks, pairs, max_matches=K)
+    for k, (i, j) in enumerate(pairs):
+        m1, c1, _ = dmatch.match_descriptors(
+            jnp.asarray(descs[i]), jnp.asarray(descs[j]),
+            jnp.asarray(masks[i]), jnp.asarray(masks[j]), 0.7, 0.8, K,
+        )
+        assert int(c1) == int(c_sh[k])
+        np.testing.assert_array_equal(np.asarray(m1), m_sh[k])

@@ -167,3 +167,36 @@ def test_refine_pose_converges():
     dq = G.quat_mul(G.quat_conj(qgt), q)
     assert float(jnp.linalg.norm(G.so3_log(dq))) < 1e-3
     assert float(jnp.linalg.norm(t - tgt)) < 1e-3
+
+
+def test_essential_5pt_contains_solution():
+    from xrsfm_tpu.ops.essential5pt import essential_5pt
+
+    s = make_scene(n_cams=2, n_pts=64, seed=11)
+    x1 = jnp.asarray(s["uv"][0])
+    x2 = jnp.asarray(s["uv"][1])
+    mask = jnp.zeros(64, bool).at[:5].set(True)
+    Es, valid = essential_5pt(x1, x2, mask)
+    assert Es.shape == (10, 3, 3)
+    errs = jax.vmap(lambda Em: jnp.max(E.sampson_error(Em, x1, x2)))(Es)
+    errs = jnp.where(valid, errs, jnp.inf)
+    best = float(jnp.min(errs))
+    assert best < 1e-6, f"no 5pt solution matches GT (best max-sampson {best})"
+
+
+def test_essential_5pt_vmapped_over_samples():
+    from xrsfm_tpu.ops.essential5pt import essential_5pt
+
+    s = make_scene(n_cams=2, n_pts=40, seed=12)
+    x1 = jnp.asarray(s["uv"][0])
+    x2 = jnp.asarray(s["uv"][1])
+    idx = jnp.asarray(np.stack([np.arange(5), np.arange(5, 10), np.arange(10, 15)]))
+    f = jax.vmap(
+        lambda ii: essential_5pt(x1[ii], x2[ii], jnp.ones(5, bool))
+    )
+    Es, valid = f(idx)
+    assert Es.shape == (3, 10, 3, 3)
+    for b in range(3):
+        errs = jax.vmap(lambda Em: jnp.max(E.sampson_error(Em, x1, x2)))(Es[b])
+        errs = jnp.where(valid[b], errs, jnp.inf)
+        assert float(jnp.min(errs)) < 1e-5

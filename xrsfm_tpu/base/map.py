@@ -234,6 +234,19 @@ class SfMMap:
     # queries used by the incremental loop
     # ------------------------------------------------------------------
 
+    def rebuild_visibility_counters(self):
+        """Recompute p3d_corr_cnt from scratch (after snapshot resume:
+        load pairs + build_correspondence_graph first, then this)."""
+        for f in range(self.num_frames):
+            self.p3d_corr_cnt[f][:] = 0
+        for tid in range(self.num_tracks):
+            if not self.track_valid[tid]:
+                continue
+            for f, p2d in self.track_obs[tid].items():
+                of, op = self.corr[f].of(p2d)
+                for f2, pp in zip(of, op):
+                    self.p3d_corr_cnt[f2][pp] += 1
+
     def visible_track_count(self, frame: int) -> int:
         """Number of keypoints of `frame` whose correspondences reach >= 1
         live track (reference: Frame::num_visible_points3D analog)."""

@@ -66,26 +66,56 @@ def is_good_relative_pose(m: SfMMap, id1: int, id2: int, matches,
 
 
 def check_all_relative_pose(m: SfMMap, frame: int,
-                            opts: ErrorCorrectOptions) -> List[int]:
+                            opts: ErrorCorrectOptions,
+                            engage_all: bool = False) -> List[int]:
     """Return neighbors whose relative pose to `frame` disagrees with the
-    matches (reference: CheckAllRelativePose, error_detector.cc:103-159)."""
+    matches (reference: CheckAllRelativePose, error_detector.cc:103-159).
+
+    engage_all=True checks every registered pair (used as a
+    post-registration sanity gate); otherwise only weakly covisible pairs
+    are checked, as in the reference."""
     bad = []
     for pid in m.frame_pairs_of[frame]:
         id1, id2, matches = m.pairs[pid]
         other = id2 if id1 == frame else id1
         if not m.registered[other] or len(matches) < 8:
             continue
-        # engage only for weakly covisible pairs (suspicious links)
-        shared = 0
-        for p2d in (matches[:, 0] if id1 == frame else matches[:, 1]):
-            tid = m.track_of[frame][p2d]
-            if tid >= 0 and m.track_valid[tid] and other in m.track_obs[tid]:
-                shared += 1
-        if shared >= opts.min_covis_engage:
-            continue
+        if not engage_all:
+            # engage only for weakly covisible pairs (suspicious links)
+            shared = 0
+            for p2d in (matches[:, 0] if id1 == frame else matches[:, 1]):
+                tid = m.track_of[frame][p2d]
+                if tid >= 0 and m.track_valid[tid] and other in m.track_obs[tid]:
+                    shared += 1
+            if shared >= opts.min_covis_engage:
+                continue
         if not is_good_relative_pose(m, id1, id2, matches, opts):
             bad.append(other)
     return bad
+
+
+def registration_is_consistent(m: SfMMap, frame: int,
+                               opts: Optional[ErrorCorrectOptions] = None):
+    """Post-registration gate: the new pose must satisfy the epipolar
+    geometry of at least half of its matched registered neighbors.
+
+    Catches the planar-PnP two-fold ambiguity: on plane-dominant scenes
+    P3P can return a mirrored pose whose reprojections fit but whose
+    relative geometry to every neighbor is wrong."""
+    opts = opts or ErrorCorrectOptions()
+    n_checked = 0
+    n_bad = 0
+    for pid in m.frame_pairs_of[frame]:
+        id1, id2, matches = m.pairs[pid]
+        other = id2 if id1 == frame else id1
+        if not m.registered[other] or other == frame or len(matches) < 8:
+            continue
+        n_checked += 1
+        if not is_good_relative_pose(m, id1, id2, matches, opts):
+            n_bad += 1
+    if n_checked == 0:
+        return True
+    return n_bad <= 0.5 * n_checked
 
 
 def try_locate(m: SfMMap, frame: int, bad_frames: List[int],

@@ -66,6 +66,7 @@ class IncrementalMapper:
     def __init__(self, opts: MapperOptions = MapperOptions()):
         self.opts = opts
         self.stats = MapperStats()
+        self._rejections = {}
 
     def _log(self, msg: str):
         if self.opts.verbose:
@@ -95,13 +96,32 @@ class IncrementalMapper:
             if nxt < 0:
                 break
             t0 = time.time()
-            ok, n_inl = register.register_frame(m, nxt, o.reg)
+            ok, n_inl = register.register_frame(
+                m, nxt, o.reg, seed_salt=self._rejections.get(nxt, 0)
+            )
             self.stats.time_register += time.time() - t0
             if not ok:
                 m.registered_fail[nxt] = True
                 self.stats.failed += 1
                 self._log(f"register frame {nxt} FAILED ({n_inl} inliers)")
                 if o.stop_when_register_fail:
+                    break
+                continue
+            from . import error_correct as EC
+
+            if not EC.registration_is_consistent(m, nxt):
+                # planar-PnP ambiguity / bad registration: undo; retry once
+                # later (more tracks may disambiguate), then fail for good
+                m.deregister_frame(nxt)
+                self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
+                if self._rejections[nxt] >= 2:
+                    m.registered_fail[nxt] = True
+                    self.stats.failed += 1
+                self._log(
+                    f"register frame {nxt} REJECTED (epipolar-inconsistent "
+                    f"pose, attempt {self._rejections[nxt]})"
+                )
+                if o.stop_when_register_fail and m.registered_fail[nxt]:
                     break
                 continue
             self.stats.registered += 1

@@ -95,6 +95,20 @@ def find_and_initialize(m: SfMMap, opts: InitOptions = InitOptions(),
             if {m.pairs[i][0], m.pairs[i][1]} == {init_id1, init_id2}
         ]
         order = forced + [i for i in order if i not in forced]
+    # graceful degradation for small scenes: if no pair clears the point
+    # gate, retry with relaxed minimums (the reference's fixed >200-point
+    # gate assumes 8k-feature internet images, map_initializer.cc:13-139)
+    attempts = [opts]
+    for mp in (50, 30):
+        if mp < opts.min_points:
+            attempts.append(dataclasses.replace(opts, min_points=mp))
+    for att in attempts:
+        if _try_initialize(m, order, att):
+            return True
+    return False
+
+
+def _try_initialize(m: SfMMap, order, opts: InitOptions) -> bool:
     for pi in order:
         id1, id2, matches = m.pairs[pi]
         ok, q2, t2, X, accept = check_init_pair(m, id1, id2, matches, opts)

@@ -163,16 +163,35 @@ def reproj_errors_batch(q, t, uv, xyz):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def essential_ransac(key, uv1, uv2, mask, threshold, num_hypotheses: int = 512):
-    """8-point essential RANSAC with manifold projection + LO refit.
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "use_5pt")
+)
+def essential_ransac(
+    key, uv1, uv2, mask, threshold, num_hypotheses: int = 512,
+    use_5pt: bool = True,
+):
+    """Essential RANSAC: Nister 5-point minimal hypotheses (up to 10
+    models per sample, reference: solve_essential, essential.cc:389-404)
+    with an 8-point + manifold-projection LO refit on the winner's
+    inliers.  Returns (E, inliers, num_inliers, success)."""
+    from ..ops.essential5pt import essential_5pt
 
-    Returns (E, inliers, num_inliers, success)."""
+    if use_5pt:
+        def estimate(sampled, sample_valid):
+            x1, x2 = sampled
+            Es, valid = essential_5pt(x1, x2, sample_valid)
+            return Es, valid & jnp.all(sample_valid)
 
-    def estimate(sampled, sample_valid):
-        x1, x2 = sampled
-        E, valid = epipolar.essential_8pt(x1, x2, sample_valid)
-        return E[None], (valid & jnp.all(sample_valid))[None]
+        sample_size = 5
+        hypotheses = max(num_hypotheses // 8, 64)  # 10 models per sample
+    else:
+        def estimate(sampled, sample_valid):
+            x1, x2 = sampled
+            E, valid = epipolar.essential_8pt(x1, x2, sample_valid)
+            return E[None], (valid & jnp.all(sample_valid))[None]
+
+        sample_size = 8
+        hypotheses = num_hypotheses
 
     def residual(E, data):
         x1, x2 = data
@@ -188,9 +207,9 @@ def essential_ransac(key, uv1, uv2, mask, threshold, num_hypotheses: int = 512):
         mask=mask,
         estimate_fn=estimate,
         residual_fn=residual,
-        sample_size=8,
+        sample_size=sample_size,
         threshold=threshold,
-        num_hypotheses=num_hypotheses,
+        num_hypotheses=hypotheses,
         refit_fn=refit,
         lo_iters=2,
     )

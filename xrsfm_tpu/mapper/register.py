@@ -24,8 +24,11 @@ class RegisterOptions:
     num_hypotheses: int = 256
 
 
-def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOptions()):
-    """Try to register `frame`.  Returns (success, num_inliers)."""
+def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOptions(),
+                   seed_salt: int = 0):
+    """Try to register `frame`.  Returns (success, num_inliers).
+    seed_salt varies the RANSAC key on retries (e.g. after an
+    epipolar-inconsistent pose was rejected)."""
     p2d_idx, track_ids = m.search_correspondences(frame)
     n = len(p2d_idx)
     if n < opts.min_correspondences:
@@ -39,7 +42,7 @@ def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOption
     mask[:n] = True
     focal = float(m.cameras[int(m.cam_of_frame[frame])][0])
     th = (opts.ransac_px / focal) ** 2
-    key = jax.random.PRNGKey((frame * 2654435761) & 0x7FFFFFFF)
+    key = jax.random.PRNGKey(((frame + seed_salt * 65537) * 2654435761) & 0x7FFFFFFF)
     q, t, inl, n_inl, success = kernels.pnp_ransac(
         key,
         jnp.asarray(uvp),

@@ -38,14 +38,23 @@ def poly_roots(coeffs: jax.Array, iters: int = 60):
     c = coeffs / lead  # monic, real
     d = c.shape[-1] - 1
 
-    # initial guesses: powers of (0.4 + 0.9i), scaled by the Cauchy bound
-    bound = 1.0 + jnp.max(jnp.abs(c[..., 1:]), axis=-1)
+    # rescale the variable by the Fujiwara root bound so all roots lie in
+    # ~the unit disk — float32 Durand-Kerner overflows/diverges when root
+    # magnitudes are far from 1
+    k1 = jnp.arange(1, d + 1, dtype=jnp.float32)
+    mags = jnp.abs(c[..., 1:]) + 1e-30
+    R = 2.0 * jnp.max(mags ** (1.0 / k1), axis=-1)
+    R = jnp.clip(R, 1e-6, 1e6)[..., None]  # [..., 1]
+    # substitute z = R * w: coefficient of w^(d-k) is c_k / R^k
+    powers = R ** jnp.arange(d + 1, dtype=jnp.float32)
+    c = c / powers
+
+    # initial guesses: powers of (0.4 + 0.9i) (inside/near the unit disk)
     k = jnp.arange(d)
     ang = jnp.arctan2(0.9, 0.4) * (k + 1)
-    mag = (jnp.sqrt(0.4**2 + 0.9**2)) ** (k + 1)
-    scale = (0.5 + 0.5 * bound)[..., None]
-    zr0 = (mag * jnp.cos(ang)) * scale
-    zi0 = (mag * jnp.sin(ang)) * scale
+    mag = (jnp.sqrt(0.4**2 + 0.9**2)) ** ((k + 1) % 7 + 1)
+    zr0 = jnp.broadcast_to(mag * jnp.cos(ang), c[..., 1:].shape)
+    zi0 = jnp.broadcast_to(mag * jnp.sin(ang), c[..., 1:].shape)
 
     def poly_eval(zr, zi):
         def body(i, acc):
@@ -75,7 +84,7 @@ def poly_roots(coeffs: jax.Array, iters: int = 60):
         return zr - qr, zi - qi
 
     zr, zi = jax.lax.fori_loop(0, iters, step, (zr0, zi0))
-    return zr, zi
+    return zr * R, zi * R  # undo the variable scaling
 
 
 def real_roots(coeffs: jax.Array, imag_tol: float = 1e-4, iters: int = 60):

@@ -85,7 +85,50 @@ def _obs_residual(delta9, q, t, intri, uv, xyz):
 
 
 def _residuals_and_jacobians(p: BAProblem):
-    """Batched residuals [O,2], depths [O], Jacobians Jc [O,2,6], Jp [O,2,3]."""
+    """Batched residuals [O,2], depths [O], Jacobians Jc [O,2,6], Jp [O,2,3].
+
+    Analytic chain (~4x cheaper than 9-tangent jacfwd):
+      pc = R x + t;  proj = pc_xy / pc_z;  pix = f * distort(proj) + c
+      d pix / d pc = diag(f) @ Jdist(proj) @ [[1/z, 0, -x/z^2],
+                                              [0, 1/z, -y/z^2]]
+      d pc / d dw = -R [x]_x   (right-multiplicative pose perturbation)
+      d pc / d dt = I;  d pc / d x = R
+    Verified against jax.jacfwd in tests/test_ba.py.
+    """
+    q = p.cam_q[p.obs_cam]
+    t = p.cam_t[p.obs_cam]
+    intri = p.cam_intri[p.obs_cam]
+    xyz = p.points[p.obs_pt]
+
+    R = G.quat_to_rotmat(q)  # [O,3,3]
+    pc = jnp.einsum("oij,oj->oi", R, xyz) + t
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = pc[..., :2] / zs[..., None]
+    pix = Cam.normalized_to_image(intri, proj)
+    r = pix - p.obs_uv
+
+    f2 = intri[..., :2]  # (fx, fy)
+    Jd = Cam.distort_jacobian(intri, proj)  # [O,2,2]
+    A = f2[..., :, None] * Jd  # diag(f) @ Jdist
+    inv_z = 1.0 / zs
+    Jproj = jnp.zeros(pc.shape[:-1] + (2, 3), pc.dtype)
+    Jproj = Jproj.at[..., 0, 0].set(inv_z)
+    Jproj = Jproj.at[..., 1, 1].set(inv_z)
+    Jproj = Jproj.at[..., 0, 2].set(-pc[..., 0] * inv_z * inv_z)
+    Jproj = Jproj.at[..., 1, 2].set(-pc[..., 1] * inv_z * inv_z)
+    B = jnp.einsum("oij,ojk->oik", A, Jproj)  # [O,2,3] = d pix / d pc
+
+    Jw = jnp.einsum("oij,ojk->oik", B, -jnp.einsum("oij,ojk->oik", R, G.skew(xyz)))
+    Jt = B
+    Jc = jnp.concatenate([Jw, Jt], axis=-1)  # [O,2,6]
+    Jp = jnp.einsum("oij,ojk->oik", B, R)  # [O,2,3]
+    return r, z, Jc, Jp
+
+
+def _residuals_and_jacobians_ad(p: BAProblem):
+    """jacfwd reference implementation (kept for testing the analytic
+    Jacobians)."""
     q = p.cam_q[p.obs_cam]
     t = p.cam_t[p.obs_cam]
     intri = p.cam_intri[p.obs_cam]
@@ -94,7 +137,6 @@ def _residuals_and_jacobians(p: BAProblem):
     def rj(q_, t_, i_, uv_, x_):
         zero = jnp.zeros(9, p.cam_q.dtype)
         r0, z0 = _obs_residual(zero, q_, t_, i_, uv_, x_)
-        # forward-mode Jacobian wrt the 9-dof local perturbation at zero
         J = jax.jacfwd(lambda d: _obs_residual(d, q_, t_, i_, uv_, x_)[0])(zero)
         return r0, z0, J
 

@@ -20,6 +20,7 @@ from ..base.map import SfMMap
 from ..mapper import IncrementalMapper, MapperOptions
 from ..utils import io_colmap as IOC
 from ..utils import io_features as IOF
+from ..utils import native
 
 
 def build_map(
@@ -30,8 +31,8 @@ def build_map(
 ) -> SfMMap:
     """PreProcess equivalent (reference: run_reconstruction.cc:12-47):
     load features + verified pairs, build the correspondence graph."""
-    feats = IOF.read_features(os.path.join(bin_dir, "ftr.bin"), with_descs=False)
-    pairs = IOF.read_frame_pairs(os.path.join(bin_dir, "fp.bin"))
+    feats = native.read_features_fast(os.path.join(bin_dir, "ftr.bin"), with_descs=False)
+    pairs = native.read_frame_pairs_fast(os.path.join(bin_dir, "fp.bin"))
     m = SfMMap()
     if camera_per_image is None:
         cams = IOC.read_cameras_text(camera_txt)

@@ -21,12 +21,13 @@ from ..mapper import ba_glue, triangulate
 from ..optim.ba import BAOptions
 from ..utils import io_colmap as IOC
 from ..utils import io_features as IOF
+from ..utils import native
 
 
 def main(bin_dir: str, model_dir: str, output_dir: str, tri_px: float = 8.0):
     t0 = time.time()
-    feats = IOF.read_features(os.path.join(bin_dir, "ftr.bin"), with_descs=False)
-    pairs = IOF.read_frame_pairs(os.path.join(bin_dir, "fp.bin"))
+    feats = native.read_features_fast(os.path.join(bin_dir, "ftr.bin"), with_descs=False)
+    pairs = native.read_frame_pairs_fast(os.path.join(bin_dir, "fp.bin"))
     cams = IOC.read_cameras_bin(os.path.join(model_dir, "cameras.bin"))
     imgs = IOC.read_images_bin(os.path.join(model_dir, "images.bin"))
     name_to_pose = {im.name: (im.qvec, im.tvec, im.camera_id) for im in imgs.values()}

@@ -114,6 +114,23 @@ def distort(params: jax.Array, uv: jax.Array) -> jax.Array:
     return jnp.stack([u + du, v + dv], axis=-1)
 
 
+def distort_jacobian(params: jax.Array, uv: jax.Array) -> jax.Array:
+    """Analytic 2x2 Jacobian of `distort` wrt uv.  Returns [..., 2, 2]."""
+    k1, k2, p1, p2 = (params[..., 4], params[..., 5], params[..., 6], params[..., 7])
+    u, v = uv[..., 0], uv[..., 1]
+    u2, v2 = u * u, v * v
+    r2 = u2 + v2
+    radial = k1 * r2 + k2 * r2 * r2
+    drad_du = 2 * u * (k1 + 2 * k2 * r2)
+    drad_dv = 2 * v * (k1 + 2 * k2 * r2)
+    j00 = 1 + radial + u * drad_du + 2 * p1 * v + 6 * p2 * u
+    j01 = u * drad_dv + 2 * p1 * u + 2 * p2 * v
+    j10 = v * drad_du + 2 * p2 * v + 2 * p1 * u
+    j11 = 1 + radial + v * drad_dv + 2 * p2 * u + 6 * p1 * v
+    J = jnp.stack([j00, j01, j10, j11], axis=-1)
+    return J.reshape(J.shape[:-1] + (2, 2))
+
+
 def undistort(params: jax.Array, uv: jax.Array, iters: int = 10) -> jax.Array:
     """Invert `distort`: find x with distort(x) = uv.  Fixed-iteration Newton
     with analytic 2x2 Jacobian (reference: IterativeUndistortion,

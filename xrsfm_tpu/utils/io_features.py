@@ -68,15 +68,17 @@ def read_features(path: str, with_descs: bool = True) -> List[FrameFeatures]:
         off += 4
         kps = np.frombuffer(buf, "<f4", count=n * 4, offset=off).reshape(n, 4).copy()
         off += n * 16
+        # the file always stores descriptors (write_features default);
+        # with_descs=False skips them but must still advance the cursor
         if with_descs:
             descs = (
                 np.frombuffer(buf, "u1", count=n * 128, offset=off)
                 .reshape(n, 128)
                 .copy()
             )
-            off += n * 128
         else:
             descs = np.zeros((n, 128), np.uint8)
+        off += n * 128
         frames.append(FrameFeatures(name=name, keypoints=kps, descriptors=descs))
     return frames
 
