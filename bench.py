@@ -32,15 +32,23 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
 
     rng = np.random.default_rng(seed)
     f, cx, cy = 718.0, 607.0, 185.0  # KITTI-ish intrinsics
-    # cameras along a trajectory
-    ts = np.cumsum(rng.normal(scale=[1.0, 0.05, 0.1], size=(n_cams, 3)), axis=0)
-    ts[:, 2] += np.arange(n_cams) * 1.0
+    # forward-motion trajectory (cameras at identity rotation, Tcw t = -c)
+    centers = np.cumsum(
+        rng.normal(scale=[0.15, 0.02, 0.05], size=(n_cams, 3)), axis=0
+    )
+    centers[:, 2] += np.arange(n_cams) * 1.0
     qs = np.zeros((n_cams, 4))
     qs[:, 0] = 1.0
-    # points around the trajectory
+    ts = -centers
+    # points sampled inside the anchor camera's frustum (realistic
+    # conditioning: bounded FOV, positive depth)
     anchor = rng.integers(0, n_cams, n_pts)
-    xyz = ts[anchor] + rng.normal(scale=5.0, size=(n_pts, 3)) + [0, 0, 15.0]
-    # observations: each point seen by obs_per_pt consecutive cameras
+    uv_n = rng.uniform(-0.4, 0.4, size=(n_pts, 2))
+    depth = rng.uniform(5.0, 40.0, size=(n_pts, 1))
+    xyz = centers[anchor] + depth * np.concatenate(
+        [uv_n, np.ones((n_pts, 1))], axis=1
+    )
+    # observations: nearby cameras that actually see the point
     cam_list, pt_list = [], []
     for k in range(obs_per_pt):
         cams = np.clip(anchor - obs_per_pt // 2 + k, 0, n_cams - 1)
@@ -48,9 +56,9 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         pt_list.append(np.arange(n_pts))
     obs_cam = np.concatenate(cam_list).astype(np.int32)
     obs_pt = np.concatenate(pt_list).astype(np.int32)
-    # project
-    pc = xyz[obs_pt] - ts[obs_cam]
-    good = pc[:, 2] > 0.5
+    pc = xyz[obs_pt] - centers[obs_cam]
+    proj = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)
+    good = (pc[:, 2] > 1.0) & (np.abs(proj) < 0.6).all(axis=1)
     obs_cam, obs_pt, pc = obs_cam[good], obs_pt[good], pc[good]
     uv = pc[:, :2] / pc[:, 2:3] * f + np.array([cx, cy])
     uv += rng.normal(scale=0.5, size=uv.shape)
@@ -82,7 +90,7 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians(p)
         cost, w = ba_mod._robust_cost_and_weight(r, z, p.obs_w, 4.0)
         U, V, W, bc, bp = ba_mod._build_normal_blocks(p, r, Jc, Jp, w)
-        dx_c, dx_p = ba_mod._schur_solve(p, U, V, W, bc, bp, lam, 30, 1e-6)
+        dx_c, dx_p = ba_mod._schur_solve(p, U, V, W, bc, bp, lam, 12, 1e-2)
         cand = ba_mod._apply_step(p, dx_c, dx_p)
         r2, z2 = ba_mod._residuals_only(cand)
         c2, _ = ba_mod._robust_cost_and_weight(r2, z2, p.obs_w, 4.0)

@@ -66,13 +66,13 @@ class BAOptions:
     """Static solver options (hashable: used as a jit static argument)."""
 
     max_iters: int = 20
-    cg_iters: int = 50
+    cg_iters: int = 15  # truncated Newton: block-Jacobi PCG rarely needs more
     huber_px: float = 2.0
     lam_init: float = 1e-4
     lam_up: float = 4.0
     lam_down: float = 0.5
     lam_max: float = 1e8
-    cg_tol: float = 1e-6
+    cg_tol: float = 1e-2  # inexact Newton: loose inner solves, LM absorbs it
 
 
 def _obs_residual(delta9, q, t, intri, uv, xyz):
