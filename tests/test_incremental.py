@@ -71,3 +71,22 @@ def test_incremental_reconstruction_synthetic():
     assert ate < 0.05, f"ATE {ate}"
     # most points should be in tracks
     assert int(np.count_nonzero(m.track_valid)) > 100
+
+
+def test_retriangulate_repairs_corrupted_points():
+    from xrsfm_tpu.mapper import triangulate as TRI
+
+    s = make_scene(n_cams=6, n_pts=150, seed=20, noise=0.0)
+    m = build_map_from_scene(s)
+    ok = IncrementalMapper(MapperOptions(verbose=False)).reconstruct(m)
+    assert ok
+    # corrupt a handful of track positions
+    rng = np.random.default_rng(0)
+    valid = np.nonzero(m.track_valid[: m.num_tracks])[0]
+    victims = valid[:20]
+    before = m.track_xyz[victims].copy()
+    m.track_xyz[victims] += rng.normal(scale=0.5, size=(len(victims), 3))
+    n_upd = TRI.retriangulate(m, victims)
+    assert n_upd >= 15
+    err = np.linalg.norm(m.track_xyz[victims] - before, axis=1)
+    assert np.median(err) < 0.02, np.median(err)

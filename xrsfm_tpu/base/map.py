@@ -75,6 +75,14 @@ class SfMMap:
         self.track_angle = np.zeros(cap, np.float64)
         self.track_obs: List[Dict[int, int]] = []  # track -> {frame: p2d}
         self.num_tracks = 0
+        # flat COO observation table (append-only with tombstones) — keeps
+        # BA problem assembly pure numpy instead of dict iteration
+        ocap = 4096
+        self.obs_track = np.full(ocap, -1, np.int64)
+        self.obs_frame = np.zeros(ocap, np.int32)
+        self.obs_p2d = np.zeros(ocap, np.int32)
+        self.num_obs_slots = 0
+        self._obs_slot: Dict[Tuple[int, int], int] = {}  # (tid, frame) -> slot
         # init pair bookkeeping (gauge fixing in BA)
         self.init_id1 = -1
         self.init_id2 = -1
@@ -194,6 +202,19 @@ class SfMMap:
         self.track_obs.append({})
         return tid
 
+    def _obs_append(self, tid: int, frame: int, p2d: int):
+        if self.num_obs_slots >= len(self.obs_track):
+            grow = len(self.obs_track)
+            self.obs_track = np.append(self.obs_track, np.full(grow, -1, np.int64))
+            self.obs_frame = np.append(self.obs_frame, np.zeros(grow, np.int32))
+            self.obs_p2d = np.append(self.obs_p2d, np.zeros(grow, np.int32))
+        s = self.num_obs_slots
+        self.num_obs_slots += 1
+        self.obs_track[s] = tid
+        self.obs_frame[s] = frame
+        self.obs_p2d[s] = p2d
+        self._obs_slot[(tid, frame)] = s
+
     def add_observation(self, tid: int, frame: int, p2d: int):
         """Attach (frame, p2d) to track tid and update visibility counters."""
         old = self.track_of[frame][p2d]
@@ -203,6 +224,7 @@ class SfMMap:
             self.remove_observation(int(old), frame, p2d)
         self.track_obs[tid][frame] = p2d
         self.track_of[frame][p2d] = tid
+        self._obs_append(tid, frame, p2d)
         of, op = self.corr[frame].of(p2d)
         for f2, pp in zip(of, op):
             self.p3d_corr_cnt[f2][pp] += 1
@@ -212,6 +234,9 @@ class SfMMap:
             return
         del self.track_obs[tid][frame]
         self.track_of[frame][p2d] = -1
+        slot = self._obs_slot.pop((tid, frame), None)
+        if slot is not None:
+            self.obs_track[slot] = -1  # tombstone
         of, op = self.corr[frame].of(p2d)
         for f2, pp in zip(of, op):
             self.p3d_corr_cnt[f2][pp] -= 1
@@ -226,6 +251,9 @@ class SfMMap:
         for frame, p2d in list(self.track_obs[tid].items()):
             del self.track_obs[tid][frame]
             self.track_of[frame][p2d] = -1
+            slot = self._obs_slot.pop((tid, frame), None)
+            if slot is not None:
+                self.obs_track[slot] = -1
             of, op = self.corr[frame].of(p2d)
             for f2, pp in zip(of, op):
                 self.p3d_corr_cnt[f2][pp] -= 1

@@ -87,4 +87,5 @@ def load_snapshot(path: str) -> SfMMap:
     for tid, f, p in z["obs"]:
         m.track_obs[int(tid)][int(f)] = int(p)
         m.track_of[int(f)][int(p)] = int(tid)
+        m._obs_append(int(tid), int(f), int(p))
     return m

@@ -75,6 +75,15 @@ def _fundamental_ransac(key, x1, x2, mask, threshold):
     return res.model, res.inliers, res.num_inliers, res.success
 
 
+@jax.jit
+def _fundamental_ransac_batch(keys, x1, x2, mask, threshold):
+    """vmapped LO-RANSAC over a batch of pairs with a shared bucket size.
+    keys [B,2] uint32; x1, x2 [B, N, 2]; mask [B, N]."""
+    return jax.vmap(_fundamental_ransac, in_axes=(0, 0, 0, 0, None))(
+        keys, x1, x2, mask, threshold
+    )
+
+
 def sequential_pairs(num_frames: int, opts: MatchingOptions) -> List[Tuple[int, int]]:
     """Adjacent window + every-Nth loop-closure probes.
     (reference: MatchingSeq, run_matching.cc:125-151)."""
@@ -127,6 +136,9 @@ def match_and_verify_pairs(
     descs_d = jnp.asarray(descs)
     masks_d = jnp.asarray(masks)
 
+    # pass 1: descriptor matching (device; one dispatch per pair, the
+    # matmul dominates)
+    cand = []  # (i, j, matches [M,2], dists [M])
     for pi, (i, j) in enumerate(pair_ids):
         matches, cnt, dists = dmatch.match_descriptors(
             descs_d[i], descs_d[j], masks_d[i], masks_d[j],
@@ -137,39 +149,66 @@ def match_and_verify_pairs(
             continue
         mnp = np.asarray(matches)
         mnp = mnp[mnp[:, 0] >= 0][:n_m]
-        x1 = kps[i][mnp[:, 0]]
-        x2 = kps[j][mnp[:, 1]]
-        b = bucket(n_m)
-        x1p = pad_rows(x1, b)
-        x2p = pad_rows(x2, b)
-        vm = np.zeros(b, bool)
-        vm[:n_m] = True
-        key = jax.random.PRNGKey((i * 32768 + j) & 0x7FFFFFFF)
-        F, inl, n_inl, success = _fundamental_ransac(
-            key, jnp.asarray(x1p), jnp.asarray(x2p), jnp.asarray(vm),
-            jnp.asarray(opts.f_ransac_px**2, jnp.float32),
-        )
-        n_inl = int(n_inl)
-        if not bool(success) or n_inl < max(
-            opts.min_inliers, int(opts.min_inlier_ratio * n_m)
-        ):
-            continue
-        inl_np = np.asarray(inl)[:n_m]
-        out.append(
-            FramePairData(
-                id1=i,
-                id2=j,
-                matches=mnp,
-                distances=np.asarray(dists)[: len(mnp)].astype(np.float64),
-                E=np.asarray(F, np.float64),  # slot also stores F-verif model
-                inlier_num=n_inl,
-                inlier_mask=inl_np,
-            )
-        )
-        if verbose and (pi % 50 == 0):
+        cand.append((i, j, mnp, np.asarray(dists)[: len(mnp)]))
+        if verbose and (pi % 200 == 0):
             print(
-                f"[matching] pair {pi + 1}/{len(pair_ids)} ({i},{j}): "
-                f"{n_m} matches, {n_inl} inliers",
+                f"[matching] matched {pi + 1}/{len(pair_ids)}",
                 flush=True,
             )
+
+    # pass 2: geometric verification, vmapped in bucket-grouped chunks
+    by_bucket = {}
+    for k, (i, j, mnp, d) in enumerate(cand):
+        by_bucket.setdefault(bucket(len(mnp)), []).append(k)
+    th = jnp.asarray(opts.f_ransac_px**2, jnp.float32)
+    CHUNK = 16
+    for b, idxs in sorted(by_bucket.items()):
+        for s in range(0, len(idxs), CHUNK):
+            grp = idxs[s : s + CHUNK]
+            nb = len(grp)
+            x1 = np.zeros((CHUNK, b, 2), np.float32)
+            x2 = np.zeros((CHUNK, b, 2), np.float32)
+            vm = np.zeros((CHUNK, b), bool)
+            keys = np.zeros((CHUNK, 2), np.uint32)
+            for g, k in enumerate(grp):
+                i, j, mnp, _ = cand[k]
+                n_m = len(mnp)
+                x1[g, :n_m] = kps[i][mnp[:, 0]]
+                x2[g, :n_m] = kps[j][mnp[:, 1]]
+                vm[g, :n_m] = True
+                keys[g] = np.asarray(
+                    jax.random.PRNGKey((i * 32768 + j) & 0x7FFFFFFF)
+                )
+            F_b, inl_b, n_inl_b, ok_b = _fundamental_ransac_batch(
+                jnp.asarray(keys), jnp.asarray(x1), jnp.asarray(x2),
+                jnp.asarray(vm), th,
+            )
+            F_b = np.asarray(F_b)
+            inl_b = np.asarray(inl_b)
+            n_inl_b = np.asarray(n_inl_b)
+            ok_b = np.asarray(ok_b)
+            for g, k in enumerate(grp):
+                i, j, mnp, d = cand[k]
+                n_m = len(mnp)
+                n_inl = int(n_inl_b[g])
+                if not bool(ok_b[g]) or n_inl < max(
+                    opts.min_inliers, int(opts.min_inlier_ratio * n_m)
+                ):
+                    continue
+                out.append(
+                    FramePairData(
+                        id1=i,
+                        id2=j,
+                        matches=mnp,
+                        distances=d.astype(np.float64),
+                        E=np.asarray(F_b[g], np.float64),
+                        inlier_num=n_inl,
+                        inlier_mask=inl_b[g][:n_m],
+                    )
+                )
+    if verbose:
+        print(
+            f"[matching] verified {len(out)}/{len(cand)} candidate pairs",
+            flush=True,
+        )
     return out

@@ -28,23 +28,31 @@ class BAGlueResult:
 
 
 def _collect(m: SfMMap, opt_frames: Sequence[int], obs_frames=None):
-    opt_set = set(int(f) for f in opt_frames)
-    allowed = None if obs_frames is None else set(int(f) for f in obs_frames)
-    tracks = set()
-    for f in opt_set:
-        for tid in m.track_of[f]:
-            if tid >= 0 and m.track_valid[tid]:
-                tracks.add(int(tid))
-    # all frames observing those tracks (non-opt ones will be fixed)
-    frames = set(opt_set)
-    obs_rows = []
-    for tid in tracks:
-        for f, p in m.track_obs[tid].items():
-            if allowed is not None and int(f) not in allowed:
-                continue
-            frames.add(int(f))
-            obs_rows.append((int(f), int(tid), int(p)))
-    return sorted(frames), sorted(tracks), obs_rows
+    """Vectorized over the map's flat COO observation table."""
+    n = m.num_obs_slots
+    ot = m.obs_track[:n]
+    of_ = m.obs_frame[:n]
+    op_ = m.obs_p2d[:n]
+    live = ot >= 0
+    live = live & m.track_valid[np.clip(ot, 0, None)]
+
+    opt_mask = np.zeros(m.num_frames, bool)
+    opt_mask[np.asarray(list(opt_frames), np.int64)] = True
+    # tracks seen by any opt frame
+    tr_mask = np.zeros(m.num_tracks, bool)
+    sel = live & opt_mask[of_]
+    tr_mask[ot[sel]] = True
+    rows = live & tr_mask[np.clip(ot, 0, None)]
+    if obs_frames is not None:
+        allowed = np.zeros(m.num_frames, bool)
+        allowed[np.asarray(list(obs_frames), np.int64)] = True
+        rows &= allowed[of_]
+    ot, of_, op_ = ot[rows], of_[rows], op_[rows]
+    frames = np.unique(
+        np.concatenate([of_, np.asarray(list(opt_frames), np.int64)])
+    )
+    tracks = np.unique(ot)
+    return frames, tracks, (of_, ot, op_)
 
 
 def build_problem(
@@ -59,15 +67,14 @@ def build_problem(
     frames constant in LBA the same way (ba_solver.cc:358-391).
     obs_frames restricts which frames contribute observations (KGBA uses
     keyframes only, ba_solver.cc:640-678)."""
-    frames, tracks, obs_rows = _collect(m, opt_frames, obs_frames)
-    if not obs_rows:
+    frames, tracks, (row_f, row_t, row_p) = _collect(m, opt_frames, obs_frames)
+    n_obs = len(row_f)
+    if n_obs == 0:
         return None, None, None
-    fmap = {f: i for i, f in enumerate(frames)}
-    tmap = {t: i for i, t in enumerate(tracks)}
 
     C = kernels.bucket(len(frames), lo=8)
     P = kernels.bucket(len(tracks), lo=64)
-    O = kernels.bucket(len(obs_rows), lo=256)
+    O = kernels.bucket(n_obs, lo=256)
 
     cam_q = np.zeros((C, 4), np.float32)
     cam_q[:, 0] = 1.0
@@ -76,41 +83,53 @@ def build_problem(
     cam_intri[:, :2] = 1.0
     fix_cam = np.ones(C, bool)  # padding cameras frozen
     fix_trans = np.zeros(C, bool)
-    for f, i in fmap.items():
-        cam_q[i] = m.q[f]
-        cam_t[i] = m.t[f]
-        cam_intri[i] = m.cameras[int(m.cam_of_frame[f])]
-        fix_cam[i] = fix_all_poses or (f not in set(int(x) for x in opt_frames))
+    nf = len(frames)
+    cam_q[:nf] = m.q[frames]
+    cam_t[:nf] = m.t[frames]
+    cam_table = {cid: p for cid, p in m.cameras.items()}
+    cam_intri[:nf] = np.stack(
+        [cam_table[int(m.cam_of_frame[f])] for f in frames]
+    )
+    opt_mask = np.zeros(m.num_frames, bool)
+    opt_mask[np.asarray(list(opt_frames), np.int64)] = True
+    fix_cam[:nf] = fix_all_poses | ~opt_mask[frames]
 
     points = np.zeros((P, 3), np.float32)
     fix_pt = np.ones(P, bool)
-    for t, i in tmap.items():
-        points[i] = m.track_xyz[t]
-        fix_pt[i] = False
+    nt = len(tracks)
+    points[:nt] = m.track_xyz[tracks]
+    fix_pt[:nt] = False
 
-    obs_uv = np.zeros((O, 2), np.float32)
+    fmap_arr = frames  # sorted unique
     obs_cam = np.zeros(O, np.int32)
     obs_pt = np.zeros(O, np.int32)
+    obs_uv = np.zeros((O, 2), np.float32)
     obs_w = np.zeros(O, np.float32)
-    for k, (f, tid, p) in enumerate(obs_rows):
-        obs_uv[k] = m.kps[f][p]
-        obs_cam[k] = fmap[f]
-        obs_pt[k] = tmap[tid]
-        obs_w[k] = 1.0
+    obs_cam[:n_obs] = np.searchsorted(frames, row_f)
+    obs_pt[:n_obs] = np.searchsorted(tracks, row_t)
+    # gather pixel observations per frame (vectorized within each frame)
+    uv = np.empty((n_obs, 2), np.float32)
+    order = np.argsort(row_f, kind="stable")
+    rf_s, rp_s = row_f[order], row_p[order]
+    starts = np.r_[0, np.nonzero(rf_s[1:] != rf_s[:-1])[0] + 1, n_obs]
+    for s, e in zip(starts[:-1], starts[1:]):
+        uv[order[s:e]] = m.kps[int(rf_s[s])][rp_s[s:e]]
+    obs_uv[:n_obs] = uv
+    obs_w[:n_obs] = 1.0
 
     # gauge: if nothing is frozen yet, freeze the gauge frames' translations
     # and the first gauge frame fully (reference GBA freezes the init-pair
     # translations, ba_solver.cc:610-614)
-    if not fix_all_poses and not np.any(fix_cam[: len(frames)]):
-        gf = [f for f in (gauge_frames or []) if f in fmap]
+    if not fix_all_poses and not np.any(fix_cam[:nf]):
+        fidx = {int(f): i for i, f in enumerate(frames)}
+        gf = [int(f) for f in (gauge_frames or []) if int(f) in fidx]
         if len(gf) < 2:
             # fall back: two frames with most observations
-            cnts = np.bincount(obs_cam[: len(obs_rows)], minlength=C)
-            gf = list(np.argsort(-cnts)[:2])
-            gf = [frames[int(i)] for i in gf]
-        fix_cam[fmap[gf[0]]] = True
+            cnts = np.bincount(obs_cam[:n_obs], minlength=C)
+            gf = [int(frames[int(i)]) for i in np.argsort(-cnts)[:2]]
+        fix_cam[fidx[gf[0]]] = True
         for f in gf[1:2]:
-            fix_trans[fmap[f]] = True
+            fix_trans[fidx[f]] = True
 
     prob = BAProblem(
         cam_q=jnp.asarray(cam_q),

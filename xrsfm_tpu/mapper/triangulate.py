@@ -39,34 +39,53 @@ def triangulate_frame(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
     th = (opts.tri_px / focal) ** 2
     min_angle = np.deg2rad(opts.min_angle_deg)
 
+    # --- vectorized candidate gathering over the frame's CSR rows
+    # (replaces a per-keypoint Python loop; the reference iterates
+    # per-point in C++, TriangulateFramePoint :187-251)
+    track_of_frame = m.track_of[frame]
+    rf = csr.other_frame  # [E]
+    rp = csr.other_p2d
+    counts = np.diff(csr.offsets)
+    p2d_of_row = np.repeat(np.arange(len(counts)), counts)
+
+    row_ok = m.registered[rf] & (track_of_frame[p2d_of_row] < 0)
+    tids = np.full(len(rf), -1, np.int64)
+    for f2 in np.unique(rf[row_ok]):
+        sel = row_ok & (rf == f2)
+        tids[sel] = m.track_of[f2][rp[sel]]
+    live = row_ok & (tids >= 0)
+    live[live] = m.track_valid[tids[live]]
+
     extend_p2d: List[int] = []
     extend_tid: List[int] = []
-    create_sets: List[List] = []  # [(frame, p2d), ...] per new track
+    # extension: per untracked p2d with live corr tracks, take the most
+    # frequent track id
+    if np.any(live):
+        pairs = np.stack([p2d_of_row[live], tids[live]], axis=1)
+        uniq, cnts = np.unique(pairs, axis=0, return_counts=True)
+        order = np.lexsort((-cnts, uniq[:, 0]))
+        uniq, cnts = uniq[order], cnts[order]
+        first = np.ones(len(uniq), bool)
+        first[1:] = uniq[1:, 0] != uniq[:-1, 0]
+        extend_p2d = uniq[first, 0].tolist()
+        extend_tid = uniq[first, 1].tolist()
 
-    track_of_frame = m.track_of[frame]
-    for p2d in range(len(m.kps[frame])):
-        if track_of_frame[p2d] >= 0:
-            continue
-        of, op = csr.of(p2d)
-        if len(of) == 0:
-            continue
-        reg = m.registered[of]
-        of, op = of[reg], op[reg]
-        if len(of) == 0:
-            continue
-        tids = np.array(
-            [m.track_of[f2][pp] for f2, pp in zip(of, op)], np.int64
-        )
-        live = (tids >= 0) & m.track_valid[np.clip(tids, 0, None)]
-        if np.any(live):
-            # extension candidates: pick the track seen most among corrs
-            cand = tids[live]
-            vals, cnts = np.unique(cand, return_counts=True)
-            extend_p2d.append(p2d)
-            extend_tid.append(int(vals[np.argmax(cnts)]))
-        else:
-            obs = [(frame, p2d)] + [
-                (int(f2), int(pp)) for f2, pp in zip(of, op)
+    # creation: untracked p2ds with >=1 registered corr row and 0 live ones
+    has_live = np.zeros(len(counts), bool)
+    if np.any(live):
+        has_live[np.unique(p2d_of_row[live])] = True
+    create_rows = row_ok & ~has_live[p2d_of_row]
+    create_sets: List[List] = []
+    if np.any(create_rows):
+        cp = p2d_of_row[create_rows]
+        cf = rf[create_rows]
+        cq = rp[create_rows]
+        order = np.argsort(cp, kind="stable")
+        cp, cf, cq = cp[order], cf[order], cq[order]
+        starts = np.r_[0, np.nonzero(cp[1:] != cp[:-1])[0] + 1, len(cp)]
+        for s, e in zip(starts[:-1], starts[1:]):
+            obs = [(frame, int(cp[s]))] + [
+                (int(cf[k]), int(cq[k])) for k in range(s, e)
             ]
             create_sets.append(obs[: opts.max_views])
 
@@ -150,27 +169,37 @@ def filter_tracks(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions()):
     tracks with tiny triangulation angle (reference: FilterPoints3d,
     track_processor.cc:280-349).  Returns (n_obs_removed, n_tracks_removed).
     """
-    if track_ids is None:
-        track_ids = np.nonzero(m.track_valid[: m.num_tracks])[0]
-    track_ids = [int(t) for t in track_ids if m.track_valid[t]]
-    if not track_ids:
+    # flatten observations from the map's COO table (vectorized)
+    n_slots = m.num_obs_slots
+    ot = m.obs_track[:n_slots]
+    live = (ot >= 0) & m.track_valid[np.clip(ot, 0, None)]
+    if track_ids is not None:
+        sel_mask = np.zeros(m.num_tracks, bool)
+        ids = np.asarray([int(t) for t in track_ids], np.int64)
+        if len(ids):
+            sel_mask[ids[m.track_valid[ids]]] = True
+        live &= sel_mask[np.clip(ot, 0, None)]
+    if not np.any(live):
         return 0, 0
-    # flatten observations
-    rows = []  # (tid, frame, p2d)
-    for tid in track_ids:
-        for f, p in m.track_obs[tid].items():
-            rows.append((tid, f, p))
-    if not rows:
-        return 0, 0
-    rows = np.asarray(rows, np.int64)
+    rows = np.stack(
+        [ot[live], m.obs_frame[:n_slots][live], m.obs_p2d[:n_slots][live]],
+        axis=1,
+    ).astype(np.int64)
+    track_ids = np.unique(rows[:, 0]).tolist()
     n = len(rows)
     b = kernels.bucket(n)
     q = kernels.pad_rows(m.q[rows[:, 1]].astype(np.float32), b)
     q[len(rows):, 0] = 1.0
     t = kernels.pad_rows(m.t[rows[:, 1]].astype(np.float32), b)
-    uv = kernels.pad_rows(
-        np.stack([m.kps_norm[f][p] for _, f, p in rows]).astype(np.float32), b
-    )
+    # gather normalized keypoints grouped by frame (vectorized)
+    uv_rows = np.empty((n, 2), np.float32)
+    order = np.argsort(rows[:, 1], kind="stable")
+    rf_s = rows[order, 1]
+    rp_s = rows[order, 2]
+    starts = np.r_[0, np.nonzero(rf_s[1:] != rf_s[:-1])[0] + 1, n]
+    for s, e in zip(starts[:-1], starts[1:]):
+        uv_rows[order[s:e]] = m.kps_norm[int(rf_s[s])][rp_s[s:e]]
+    uv = kernels.pad_rows(uv_rows, b)
     xyz = kernels.pad_rows(m.track_xyz[rows[:, 0]].astype(np.float32), b)
     err, z = kernels.reproj_errors_batch(
         jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv), jnp.asarray(xyz)
@@ -196,6 +225,50 @@ def filter_tracks(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions()):
     return n_rm, n_tr
 
 
+def retriangulate(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions(),
+                  min_error_px: float = 2.0):
+    """Re-triangulate high-error tracks from their observations under the
+    current poses (reference: Point3dProcessor::ReTriangulate,
+    track_processor.cc:373-424).  Returns number of updated tracks."""
+    if track_ids is None:
+        track_ids = np.nonzero(
+            m.track_valid[: m.num_tracks]
+            & (m.track_error[: m.num_tracks] > min_error_px)
+        )[0]
+    track_ids = [int(t) for t in track_ids if m.track_valid[t]]
+    if not track_ids:
+        return 0
+    V = opts.max_views
+    B = kernels.bucket(len(track_ids), lo=8)
+    q = np.zeros((B, V, 4), np.float32)
+    q[..., 0] = 1.0
+    t = np.zeros((B, V, 3), np.float32)
+    uv = np.zeros((B, V, 2), np.float32)
+    msk = np.zeros((B, V), bool)
+    for i, tid in enumerate(track_ids):
+        for j, (f, p) in enumerate(list(m.track_obs[tid].items())[:V]):
+            q[i, j] = m.q[f]
+            t[i, j] = m.t[f]
+            uv[i, j] = m.kps_norm[f][p]
+            msk[i, j] = True
+    focal = _focal(m, int(m.obs_frame[0]) if m.num_obs_slots else 0)
+    th = (opts.tri_px / focal) ** 2
+    xyz, obs_ok, ok, ang = kernels.robust_triangulate(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv), jnp.asarray(msk),
+        th, np.deg2rad(opts.min_angle_deg),
+    )
+    xyz = np.asarray(xyz)
+    ok = np.asarray(ok)
+    ang = np.asarray(ang)
+    updated = 0
+    for i, tid in enumerate(track_ids):
+        if ok[i]:
+            m.track_xyz[tid] = xyz[i]
+            m.track_angle[tid] = ang[i]
+            updated += 1
+    return updated
+
+
 def merge_frame_tracks(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
     """Merge track pairs bridged by a correspondence of `frame`
     (reference: MergeTracks, track_processor.cc:520-618).  A merge is
@@ -212,35 +285,58 @@ def merge_frame_tracks(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
             if t2 >= 0 and t2 != tid and m.track_valid[t2]:
                 key = (min(int(tid), int(t2)), max(int(tid), int(t2)))
                 cand[key] = True
-    merged = 0
-    for t1, t2 in list(cand.keys()):
-        if not (m.track_valid[t1] and m.track_valid[t2]):
-            continue
+    # batch all candidate merges into one padded device check
+    V = 32
+    cand_list = [
+        (t1, t2) for (t1, t2) in cand
+        if m.track_valid[t1] and m.track_valid[t2]
+        and len(m.track_obs[t1]) + len(m.track_obs[t2]) <= V
+    ]
+    if not cand_list:
+        return 0
+    B = kernels.bucket(len(cand_list), lo=8)
+    q = np.zeros((B, V, 4), np.float32)
+    q[..., 0] = 1.0
+    t = np.zeros((B, V, 3), np.float32)
+    uv = np.zeros((B, V, 2), np.float32)
+    xyzs = np.zeros((B, V, 3), np.float32)
+    msk = np.zeros((B, V), bool)
+    merged_xyz = np.zeros((B, 3))
+    obs_unions = []
+    for k, (t1, t2) in enumerate(cand_list):
         o1, o2 = m.track_obs[t1], m.track_obs[t2]
         n1, n2 = len(o1), len(o2)
         xyz = (m.track_xyz[t1] * n1 + m.track_xyz[t2] * n2) / (n1 + n2)
-        obs = list(o1.items()) + [
-            (f, p) for f, p in o2.items() if f not in o1
-        ]
-        if len(obs) > 32:
+        merged_xyz[k] = xyz
+        obs = list(o1.items()) + [(f, p) for f, p in o2.items() if f not in o1]
+        obs_unions.append(obs)
+        for j, (f, p) in enumerate(obs[:V]):
+            q[k, j] = m.q[f]
+            t[k, j] = m.t[f]
+            uv[k, j] = m.kps_norm[f][p]
+            xyzs[k, j] = xyz
+            msk[k, j] = True
+    err, z = kernels.reproj_errors_batch(
+        jnp.asarray(q.reshape(-1, 4)), jnp.asarray(t.reshape(-1, 3)),
+        jnp.asarray(uv.reshape(-1, 2)), jnp.asarray(xyzs.reshape(-1, 3)),
+    )
+    err = np.asarray(err).reshape(B, V)
+    z = np.asarray(z).reshape(B, V)
+    focal = _focal(m, frame)
+    th = (opts.tri_px / focal) ** 2
+    ok = np.all(np.where(msk, (err < th) & (z > 0), True), axis=1)
+
+    merged = 0
+    for k, (t1, t2) in enumerate(cand_list):
+        if not ok[k] or not (m.track_valid[t1] and m.track_valid[t2]):
             continue
-        q = np.stack([m.q[f] for f, _ in obs]).astype(np.float32)
-        t = np.stack([m.t[f] for f, _ in obs]).astype(np.float32)
-        uv = np.stack([m.kps_norm[f][p] for f, p in obs]).astype(np.float32)
-        err, z = kernels.reproj_errors_batch(
-            jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv),
-            jnp.asarray(np.broadcast_to(xyz.astype(np.float32), (len(obs), 3))),
-        )
-        focal = _focal(m, frame)
-        th = (opts.tri_px / focal) ** 2
-        if bool(np.all(np.asarray(err) < th)) and bool(np.all(np.asarray(z) > 0)):
-            # merge t2 into t1
-            for f, p in list(o2.items()):
-                m.remove_observation(t2, f, p)
-                if m.track_valid[t1] and f not in m.track_obs[t1]:
-                    m.add_observation(t1, f, p)
-            if m.track_valid[t2]:
-                m.delete_track(t2)
-            m.track_xyz[t1] = xyz
-            merged += 1
+        o2 = m.track_obs[t2]
+        for f, p in list(o2.items()):
+            m.remove_observation(t2, f, p)
+            if m.track_valid[t1] and f not in m.track_obs[t1]:
+                m.add_observation(t1, f, p)
+        if m.track_valid[t2]:
+            m.delete_track(t2)
+        m.track_xyz[t1] = merged_xyz[k]
+        merged += 1
     return merged
