@@ -1,0 +1,65 @@
+"""EC-SfM covisibility match expansion on synthetic features."""
+
+import numpy as np
+import pytest
+
+from xrsfm_tpu.feature import expansion as EXP
+from xrsfm_tpu.feature import matching as fmatch
+from xrsfm_tpu.utils.io_features import FrameFeatures
+
+from synthetic import make_scene
+from test_matching import _features_from_scene
+
+
+def _retrieval_from_gt(s):
+    """Rank frames by camera-center distance (stand-in for NetVLAD)."""
+    import jax.numpy as jnp
+
+    from xrsfm_tpu.utils import geometry as G
+
+    c = np.asarray(G.pose_center(jnp.asarray(s["q"]), jnp.asarray(s["t"])))
+    n = len(c)
+    id2rank = {}
+    for i in range(n):
+        d = np.linalg.norm(c - c[i], axis=1)
+        id2rank[i] = [int(j) for j in np.argsort(d) if j != i]
+    return id2rank
+
+
+@pytest.mark.slow
+def test_covisibility_matching_expands_pairs():
+    n_cams = 8
+    s = make_scene(n_cams=n_cams, n_pts=140, seed=31)
+    feats, perms = _features_from_scene(s, noise=0.01, seed=31)
+    id2rank = _retrieval_from_gt(s)
+    # seed with only top-2 retrieval pairs; expansion must find more
+    out = EXP.covisibility_matching(
+        feats, id2rank,
+        fmatch.MatchingOptions(),
+        num_iterations=3,
+        init_topk=2,
+        verbose=False,
+    )
+    n_seed = len(fmatch.retrieval_pairs(id2rank, 2))
+    assert len(out) > n_seed, (len(out), n_seed)
+    # all verified pairs must be mostly-correct correspondences
+    for p in out:
+        pt1 = perms[p.id1][p.matches[p.inlier_mask][:, 0]]
+        pt2 = perms[p.id2][p.matches[p.inlier_mask][:, 1]]
+        assert np.mean(pt1 == pt2) > 0.9
+
+
+def test_simulation_sfm_marks_registrable():
+    s = make_scene(n_cams=6, n_pts=120, seed=32)
+    feats, _ = _features_from_scene(s, noise=0.01, seed=32)
+    pairs = fmatch.sequential_pairs(6, fmatch.MatchingOptions(seq_window=3))
+    verified = fmatch.match_and_verify_pairs(feats, pairs, verbose=False)
+    mm = EXP.MatchMapLite(feats)
+    for p in verified:
+        mm.add_pair(p)
+    init = EXP.get_init_id(verified)
+    reg = mm.simulate_sfm(init, threshold=30)
+    # the whole sequence shares tracks -> everything registrable
+    assert len(reg) == 6
+    connected = mm.connected_frames(init[0])
+    assert len(connected) == 6

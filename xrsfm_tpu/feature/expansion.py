@@ -159,8 +159,6 @@ def _covisibility_candidates(
             key = (min(id1, id2), max(id1, id2))
             if mm.pairs.get(key, 0) > _MAX_EXISTING_MATCHES:
                 continue
-            if key in mm.pairs and mm.pairs[key] > 0 and key in out:
-                continue
             t1 = frame_tracks[id1]
             t2 = frame_tracks[id2]
             common = t1.keys() & t2.keys()
