@@ -23,10 +23,9 @@ def main():
     ap.add_argument("gt_poses")
     a = ap.parse_args()
 
-    import jax
     import jax.numpy as jnp
 
-    from xrsfm_tpu.ops.umeyama import ate_rmse, umeyama
+    from xrsfm_tpu.ops.umeyama import ate_rmse
     from xrsfm_tpu.utils import geometry as G
     from xrsfm_tpu.utils import io_colmap as IOC
 

@@ -12,7 +12,6 @@ from typing import Dict
 import numpy as np
 
 from .map import SfMMap
-from ..utils import camera as Cam
 from ..utils import geometry as G
 from ..utils import io_colmap as IO
 

@@ -25,7 +25,6 @@ device through feature.matching.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Dict, List, Sequence, Set, Tuple

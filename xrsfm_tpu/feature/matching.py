@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mapper.kernels import bucket, pad_rows
+from ..mapper.kernels import bucket
 from ..ops import epipolar, matching as dmatch, ransac
 from ..utils.io_features import FrameFeatures, FramePairData
 

@@ -14,7 +14,6 @@ reference also treats detection as host CPU preprocessing — SURVEY.md
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Tuple
 
 import numpy as np

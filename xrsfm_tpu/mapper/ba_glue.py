@@ -8,7 +8,7 @@ BASolver::GBA/LBA set-up, src/optimization/ba_solver.cc:358-638).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

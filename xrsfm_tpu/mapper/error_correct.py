@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from . import ba_glue, keyframe as KF, register, triangulate
+from . import keyframe as KF, register, triangulate
 from ..base.map import SfMMap
 from ..optim import pose_graph as PG
 from ..optim.ba import BAOptions

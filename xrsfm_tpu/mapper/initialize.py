@@ -14,7 +14,6 @@ import numpy as np
 
 from . import kernels
 from ..base.map import SfMMap
-from ..utils import geometry as G
 
 
 @dataclasses.dataclass

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..optim import ba as ba_mod
-from ..optim.ba import BAOptions, BAProblem
-from ..utils import geometry as G
+from ..optim.ba import BAProblem
 
 
 def shard_problem(p: BAProblem, n_shards: int) -> BAProblem:

@@ -7,7 +7,6 @@ frames without a camera entry get a default camera and still participate.
 
 from __future__ import annotations
 
-import os
 import time
 
 from ..base.colmap_bridge import map_to_colmap

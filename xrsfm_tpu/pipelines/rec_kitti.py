@@ -14,7 +14,6 @@ import numpy as np
 
 from ..base.colmap_bridge import map_to_colmap, write_trajectory
 from ..mapper import IncrementalMapper, MapperOptions
-from ..utils import camera as Cam
 from ..utils import io_colmap as IOC
 from . import run_reconstruction as RR
 

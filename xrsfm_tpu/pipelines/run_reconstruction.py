@@ -19,7 +19,6 @@ from ..base.colmap_bridge import map_to_colmap, write_trajectory
 from ..base.map import SfMMap
 from ..mapper import IncrementalMapper, MapperOptions
 from ..utils import io_colmap as IOC
-from ..utils import io_features as IOF
 from ..utils import native
 
 

@@ -20,7 +20,6 @@ from ..base.map import SfMMap
 from ..mapper import ba_glue, triangulate
 from ..optim.ba import BAOptions
 from ..utils import io_colmap as IOC
-from ..utils import io_features as IOF
 from ..utils import native
 
 

@@ -12,7 +12,7 @@ import glob
 import os
 import subprocess
 import sys
-from typing import List, Optional
+from typing import Optional
 
 _NATIVE = None
 _TRIED = False
