@@ -181,7 +181,7 @@ class IncrementalMapper:
                         f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
                     )
 
-        # final global BA + filter
+        # final polish: GBA -> filter -> retriangulate -> GBA
         reg_frames = list(np.nonzero(m.registered)[0])
         if len(reg_frames) >= 2:
             t0 = time.time()
@@ -190,8 +190,18 @@ class IncrementalMapper:
                 reg_frames,
                 BAOptions(max_iters=2 * self.opts.gba_iters, huber_px=4.0),
             )
-            triangulate.filter_tracks(m, None, self.opts.tri)
+            import dataclasses as _dc
+
+            tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)
+            triangulate.filter_tracks(m, None, tight)
+            n_rt = triangulate.retriangulate(m, None, self.opts.tri)
+            ba_glue.run_ba(
+                m, reg_frames, BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0)
+            )
+            triangulate.filter_tracks(m, None, tight)
             self.stats.time_gba += time.time() - t0
+            if n_rt:
+                self._log(f"final polish: {n_rt} tracks retriangulated")
         self.stats.tracks = int(np.count_nonzero(m.track_valid))
         self.stats.time_total = time.time() - t_start
         self._log(

@@ -21,6 +21,7 @@ from ..base.map import SfMMap
 class TriOptions:
     tri_px: float = 8.0  # reference: TriangulateFramePoint(8.0)
     filter_px: float = 16.0  # reference: th_rpe_gba default 16
+    polish_px: float = 4.0  # tight final-polish threshold (rec_1dsfm uses 4)
     min_angle_deg: float = 1.5  # reference: th_angle defaults
     max_views: int = 16
     min_depth: float = 1e-3
