@@ -166,3 +166,65 @@ def test_analytic_jacobians_match_autodiff():
     np.testing.assert_allclose(z1, z2, atol=1e-5)
     np.testing.assert_allclose(Jc1, Jc2, atol=2e-2, rtol=1e-3)
     np.testing.assert_allclose(Jp1, Jp2, atol=2e-2, rtol=1e-3)
+
+
+def test_ell_path_matches_segment_path():
+    """The gather-major (ELL) kernels must agree with the segment_sum
+    kernels: identical normal-equation blocks, and full solves reaching the
+    same cost (steps differ only by the bf16 CG matvecs)."""
+    from xrsfm_tpu.optim import ba as B
+
+    p0, _ = build_problem(n_cams=6, n_pts=120, noise_px=0.3, seed=0, drop=0.1)
+    pb = perturb(p0, seed=31)
+    n_valid = int(np.sum(np.asarray(pb.obs_w) > 0))
+    ell = B.build_ell(
+        pb.obs_cam, pb.obs_pt, pb.cam_q.shape[0], pb.points.shape[0]
+    )
+    r, z, Jc, Jp = B._residuals_and_jacobians(pb)
+    _, w = B._robust_cost_and_weight(r, z, pb.obs_w, 4.0)
+    U1, V1, W1, bc1, bp1 = B._build_normal_blocks(pb, r, Jc, Jp, w)
+    U2, V2, W2, bc2, bp2 = B._build_normal_blocks_ell(pb, ell, r, Jc, Jp, w)
+    for a, b in [(U1, U2), (V1, V2), (bc1, bc2), (bp1, bp2)]:
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5 * scale)
+    # W is stored bf16 in the ELL path (it only feeds the bf16 Y blocks)
+    scale = float(jnp.max(jnp.abs(W1))) + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(W1), np.asarray(W2, np.float32), atol=1e-2 * scale
+    )
+
+    s1, i1 = solve_ba(pb, BAOptions(max_iters=20, huber_px=4.0))
+    s2, i2 = solve_ba(pb, BAOptions(max_iters=20, huber_px=4.0), ell)
+    c1, c2 = float(i1["final_cost"]), float(i2["final_cost"])
+    assert abs(c1 - c2) < 0.05 * max(c1, 1.0), (c1, c2)
+    assert rms_px(s2) < rms_px(pb) * 0.2
+
+
+def test_build_ell_tables_are_consistent():
+    from xrsfm_tpu.optim import ba as B
+
+    rng = np.random.default_rng(3)
+    n_cams, n_pts, n_obs = 7, 40, 300
+    oc = rng.integers(0, n_cams, n_obs).astype(np.int32)
+    op = rng.integers(0, n_pts, n_obs).astype(np.int32)
+    ell = B.build_ell(oc, op, n_cams, n_pts)
+    cs = np.asarray(ell.cam.slots)
+    ps = np.asarray(ell.pt.slots)
+    # every observation appears exactly once in each table
+    got_c = np.sort(cs[cs < n_obs])
+    got_p = np.sort(ps[ps < n_obs])
+    np.testing.assert_array_equal(got_c, np.arange(n_obs))
+    np.testing.assert_array_equal(got_p, np.arange(n_obs))
+    # rows point at the right segments
+    cam_seg = np.asarray(ell.cam.seg)
+    for r in range(cs.shape[0]):
+        idx = cs[r][cs[r] < n_obs]
+        assert np.all(oc[idx] == cam_seg[r])
+    # companion id tables match the flat arrays
+    co = np.asarray(ell.pt.other)
+    valid = ps < n_obs
+    assert np.all(co[valid] == oc[ps[valid]])
+    po = np.asarray(ell.cam.other)
+    validc = cs < n_obs
+    assert np.all(po[validc] == op[cs[validc]])

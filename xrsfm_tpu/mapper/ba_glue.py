@@ -15,7 +15,7 @@ import numpy as np
 
 from . import kernels
 from ..base.map import SfMMap
-from ..optim.ba import BAOptions, BAProblem, solve_ba
+from ..optim.ba import BAOptions, BAProblem, build_ell, solve_ba
 
 
 @dataclasses.dataclass
@@ -70,7 +70,7 @@ def build_problem(
     frames, tracks, (row_f, row_t, row_p) = _collect(m, opt_frames, obs_frames)
     n_obs = len(row_f)
     if n_obs == 0:
-        return None, None, None
+        return None, None, None, None
 
     C = kernels.bucket(len(frames), lo=8)
     P = kernels.bucket(len(tracks), lo=64)
@@ -144,7 +144,8 @@ def build_problem(
         fix_trans=jnp.asarray(fix_trans),
         fix_pt=jnp.asarray(fix_pt),
     )
-    return prob, frames, tracks
+    ell = build_ell(obs_cam, obs_pt, C, P, n_valid=n_obs)
+    return prob, frames, tracks, ell
 
 
 def run_ba(
@@ -156,13 +157,13 @@ def run_ba(
 ) -> Optional[BAGlueResult]:
     """Build, solve, write back."""
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
-    prob, frames, tracks = build_problem(
+    prob, frames, tracks, ell = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
         obs_frames=obs_frames,
     )
     if prob is None:
         return None
-    sol, info = solve_ba(prob, opts)
+    sol, info = solve_ba(prob, opts, ell)
     q = np.asarray(sol.cam_q, np.float64)
     t = np.asarray(sol.cam_t, np.float64)
     pts = np.asarray(sol.points, np.float64)

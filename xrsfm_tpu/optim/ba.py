@@ -61,6 +61,105 @@ class BAProblem:
     fix_pt: jax.Array  # [P] bool — freeze point
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RowIndex:
+    """One side (camera or point) of the gather-major observation layout.
+
+    Observations of each segment (camera / point) are packed into rows of
+    a fixed width M; heavy segments span several rows, so padding is
+    bounded by M-1 per segment instead of (max-count − count).  Per-segment
+    reductions become: dense gather [R, M, ...] → per-row reduce → a tiny
+    segment_sum over the ~R rows."""
+
+    slots: jax.Array  # [R, M] int32 flat obs index, == O for padding
+    seg: jax.Array  # [R] int32 segment (camera / point) id per row
+    other: jax.Array  # [R, M] int32 the OTHER side's id per slot (0 pad)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EllIndex:
+    """Gather-major (ELL) slot tables for scatter-free reductions.
+
+    Large scatter-adds (segment_sum over the observation table) and
+    max-width padding both cost real time on TPU; this layout replaces
+    every observation-sized scatter with a dense gather + row reduction
+    (see RowIndex).  Built on the host by build_ell."""
+
+    cam: RowIndex  # camera-major rows
+    pt: RowIndex  # point-major rows
+
+
+def _build_rows(ids, other_ids, n_seg, O_full, max_width, bucket_lo):
+    """Pack per-segment observation lists into fixed-width rows."""
+    import numpy as np
+
+    n = len(ids)
+    counts = np.bincount(ids, minlength=n_seg)
+    maxc = int(counts.max()) if n else 1
+    M = min(_bucket(max(maxc, 1), bucket_lo), max_width)
+    rows_per_seg = np.maximum((counts + M - 1) // M, 1)
+    row_base = np.cumsum(rows_per_seg) - rows_per_seg
+    n_rows = int(rows_per_seg.sum())
+    R = ((n_rows + 63) // 64 * 64) if n_rows > 64 else _bucket(n_rows, 8)
+
+    seg = np.zeros(R, np.int32)
+    seg[:n_rows] = np.repeat(np.arange(n_seg, dtype=np.int32), rows_per_seg)
+    slots = np.full((R, M), O_full, np.int32)
+    order = np.argsort(ids, kind="stable").astype(np.int64)
+    sorted_ids = ids[order]
+    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n) - seg_start[sorted_ids]
+    slots[row_base[sorted_ids] + pos // M, pos % M] = order.astype(np.int32)
+    other_pad = np.concatenate(
+        [other_ids.astype(np.int32), np.zeros(1, np.int32)]
+    )
+    return RowIndex(
+        slots=jnp.asarray(slots),
+        seg=jnp.asarray(seg),
+        other=jnp.asarray(other_pad[slots]),
+    )
+
+
+def build_ell(obs_cam, obs_pt, n_cams: int, n_pts: int, n_valid=None,
+              bucket_lo: int = 8) -> EllIndex:
+    """Host-side ELL table construction (numpy, vectorized).
+
+    Only the first n_valid observations participate (the flat table is
+    padded with weight-0 rows pointing at camera/point 0, which must not
+    inflate slot counts)."""
+    import numpy as np
+
+    obs_cam = np.asarray(obs_cam)
+    obs_pt = np.asarray(obs_pt)
+    O_full = len(obs_cam)
+    n = O_full if n_valid is None else int(n_valid)
+    oc = obs_cam[:n].astype(np.int64)
+    op = obs_pt[:n].astype(np.int64)
+    # cameras see hundreds-to-thousands of observations → split into rows
+    # of ≤256; tracks are short → ≤32 wide rows.  The `other` lookup spans
+    # the FULL flat table (slots reference index O_full as padding).
+    return EllIndex(
+        cam=_build_rows(oc, obs_pt, n_cams, O_full, 256, bucket_lo),
+        pt=_build_rows(op, obs_cam, n_pts, O_full, 32, bucket_lo),
+    )
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _gather_obs(a, slots):
+    """Gather a per-observation array by an ELL slot table; the dummy
+    index O maps to an appended all-zero row."""
+    ap = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+    return ap[slots]
+
+
 @dataclasses.dataclass(frozen=True)
 class BAOptions:
     """Static solver options (hashable: used as a jit static argument)."""
@@ -192,14 +291,12 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
-def _build_normal_blocks(p: BAProblem, r, Jc, Jp, w):
-    """Segment-sum the damped normal-equation blocks."""
-    C = p.cam_q.shape[0]
-    P = p.points.shape[0]
-
-    # gauge-fix masks applied to Jacobian columns
-    cam_free = (~p.fix_cam)[p.obs_cam].astype(r.dtype)  # [O]
-    trans_free = (~(p.fix_cam | p.fix_trans))[p.obs_cam].astype(r.dtype)
+def _masked_jacobians(p: BAProblem, Jc, Jp):
+    """Apply gauge-fix masks to Jacobian columns (frozen cameras /
+    translations / points)."""
+    dt = Jc.dtype
+    cam_free = (~p.fix_cam)[p.obs_cam].astype(dt)  # [O]
+    trans_free = (~(p.fix_cam | p.fix_trans))[p.obs_cam].astype(dt)
     colmask = jnp.concatenate(
         [
             jnp.repeat(cam_free[:, None], 3, axis=1),
@@ -208,8 +305,17 @@ def _build_normal_blocks(p: BAProblem, r, Jc, Jp, w):
         axis=1,
     )  # [O, 6]
     Jc = Jc * colmask[:, None, :]
-    pt_free = (~p.fix_pt)[p.obs_pt].astype(r.dtype)
+    pt_free = (~p.fix_pt)[p.obs_pt].astype(dt)
     Jp = Jp * pt_free[:, None, None]
+    return Jc, Jp
+
+
+def _build_normal_blocks(p: BAProblem, r, Jc, Jp, w):
+    """Segment-sum the damped normal-equation blocks."""
+    C = p.cam_q.shape[0]
+    P = p.points.shape[0]
+
+    Jc, Jp = _masked_jacobians(p, Jc, Jp)
 
     wJc = Jc * w[:, None, None]
     wJp = Jp * w[:, None, None]
@@ -228,6 +334,197 @@ def _build_normal_blocks(p: BAProblem, r, Jc, Jp, w):
         jnp.einsum("ori,or->oi", wJp, r), p.obs_pt, num_segments=P
     )  # [P,3]
     return U, V, W, bc, bp
+
+
+def _colmask6(p: BAProblem):
+    """Per-camera 6-dim gauge mask (rotation cols free unless fix_cam,
+    translation cols also frozen by fix_trans)."""
+    rot = (~p.fix_cam).astype(jnp.float32)[:, None]
+    tr = (~(p.fix_cam | p.fix_trans)).astype(jnp.float32)[:, None]
+    return jnp.concatenate(
+        [jnp.repeat(rot, 3, axis=1), jnp.repeat(tr, 3, axis=1)], axis=1
+    )  # [C, 6]
+
+
+def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
+                             reduce_fn=None):
+    """Scatter-free normal-equation blocks via ELL row gathers.
+
+    Equivalent to _build_normal_blocks; every observation-sized
+    segment_sum becomes a dense gather into fixed-width rows, a per-row
+    batched matmul over the fused (slot × residual-row) axis (no [*,6,6]
+    per-slot intermediates), and a tiny per-row segment_sum.  Gauge masks
+    are applied AFTER reduction (each camera row is mask-uniform:
+    U_masked = m mᵀ ⊙ U; fixed points zero V/bp/W), so no masked copy of
+    the O-sized Jacobians is ever materialized.
+
+    reduce_fn (e.g. a psum over the mesh's obs axis) is applied to each
+    per-segment reduction so the same kernel runs sharded — each shard
+    holds a slice of the observation table plus its own ELL tables
+    (parallel/dist_ba.py)."""
+    C = p.cam_q.shape[0]
+    P = p.points.shape[0]
+    red = reduce_fn if reduce_fn is not None else (lambda x: x)
+    # packed per-obs scalars: (w, w·r0, w·r1, pad) — one gather per side
+    sc = jnp.concatenate(
+        [w[:, None], r * w[:, None], jnp.zeros_like(w)[:, None]], axis=1
+    )  # [O, 4]
+
+    Rc, Mc = ell.cam.slots.shape
+    Jcg = _gather_obs(Jc, ell.cam.slots)  # [Rc,Mc,2,6]
+    scg = _gather_obs(sc, ell.cam.slots)  # [Rc,Mc,4]
+    A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, 6)
+    B = Jcg.reshape(Rc, Mc * 2, 6)
+    U_rows = jnp.einsum("rki,rkj->rij", A, B)
+    bc_rows = -jnp.einsum("rki,rk->ri", B, scg[..., 1:3].reshape(Rc, Mc * 2))
+    U = red(jax.ops.segment_sum(U_rows, ell.cam.seg, num_segments=C))
+    bc = red(jax.ops.segment_sum(bc_rows, ell.cam.seg, num_segments=C))
+    m6 = _colmask6(p)
+    U = U * (m6[:, :, None] * m6[:, None, :])
+    bc = bc * m6
+
+    Rp, Lw = ell.pt.slots.shape
+    Jpg = _gather_obs(Jp, ell.pt.slots)  # [Rp,Lw,2,3]
+    spg = _gather_obs(sc, ell.pt.slots)  # [Rp,Lw,4]
+    A2 = (Jpg * spg[..., 0][..., None, None]).reshape(Rp, Lw * 2, 3)
+    B2 = Jpg.reshape(Rp, Lw * 2, 3)
+    V_rows = jnp.einsum("rki,rkj->rij", A2, B2)
+    bp_rows = -jnp.einsum("rki,rk->ri", B2, spg[..., 1:3].reshape(Rp, Lw * 2))
+    V = red(jax.ops.segment_sum(V_rows, ell.pt.seg, num_segments=P))
+    bp = red(jax.ops.segment_sum(bp_rows, ell.pt.seg, num_segments=P))
+    ptm = (~p.fix_pt).astype(V.dtype)
+    V = V * ptm[:, None, None]
+    bp = bp * ptm[:, None]
+
+    # coupling blocks, masked per obs (camera cols × point scalar), stored
+    # bf16 — W only feeds Y = W·chol(Vinv) which is bf16 anyway
+    wmask = w * ptm[p.obs_pt]
+    Wm = jnp.einsum(
+        "ori,orj,o,oi->oij", Jc, Jp, wmask, m6[p.obs_cam]
+    ).astype(jnp.bfloat16)  # [O,6,3]
+    return U, V, Wm, bc, bp
+
+
+def _chol3x3(M):
+    """Batched closed-form lower-Cholesky of SPD 3x3 blocks (guarded)."""
+    l00 = jnp.sqrt(jnp.maximum(M[..., 0, 0], 1e-12))
+    l10 = M[..., 1, 0] / l00
+    l20 = M[..., 2, 0] / l00
+    l11 = jnp.sqrt(jnp.maximum(M[..., 1, 1] - l10 * l10, 1e-12))
+    l21 = (M[..., 2, 1] - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(M[..., 2, 2] - l20 * l20 - l21 * l21, 1e-12))
+    zero = jnp.zeros_like(l00)
+    return jnp.stack(
+        [
+            jnp.stack([l00, zero, zero], -1),
+            jnp.stack([l10, l11, zero], -1),
+            jnp.stack([l20, l21, l22], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, W, bc, bp, lam,
+                     cg_iters, cg_tol, reduce_fn=None):
+    """ELL-layout Schur solve: points marginalized in closed form, PCG on
+    the reduced camera system with scatter-free matvecs.
+
+    Key substitution: with L = chol(Vinv), Y_o = W_o L_p absorbs the point
+    marginalization — the correction term G V⁻¹ Gᵀ becomes (GL)(GL)ᵀ, so
+    the CG matvec needs only Y (gathered ONCE into both row layouts, bf16
+    — f32 accumulation), its diagonal (the SCHUR_JACOBI preconditioner) is
+    one batched matmul per row, and no 3x3 multiplies remain in the CG
+    loop."""
+    C = p.cam_q.shape[0]
+    P = p.points.shape[0]
+    red = reduce_fn if reduce_fn is not None else (lambda x: x)
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    eye3 = jnp.eye(3, dtype=U.dtype)
+
+    Ud = U + lam * (U * eye6) + 1e-8 * eye6
+    Vd = V + lam * (V * eye3) + 1e-8 * eye3
+    Vinv = _inv3x3(Vd)
+    L = _chol3x3(Vinv)  # [P,3,3]
+
+    Lg = L[p.obs_pt]  # [O,3,3]
+    Y = jnp.einsum("oij,ojk->oik", W, Lg).astype(jnp.bfloat16)  # [O,6,3]
+
+    Rc, Mc = ell.cam.slots.shape
+    Rp, Lw = ell.pt.slots.shape
+    Ypt = _gather_obs(Y, ell.pt.slots)  # [Rp,Lw,6,3] bf16
+    Ycam = _gather_obs(Y, ell.cam.slots)  # [Rc,Mc,6,3] bf16
+    cam_ids = ell.pt.other  # [Rp,Lw]
+    pt_ids = ell.cam.other  # [Rc,Mc]
+
+    def _ypt_reduce(x):
+        """yp[p] = Σ_{o∈p} Y_oᵀ x_{cam(o)}  → [P,3]"""
+        xg = x[cam_ids].astype(jnp.bfloat16)  # [Rp,Lw,6]
+        yrow = jnp.einsum(
+            "rlij,rli->rj", Ypt, xg, preferred_element_type=jnp.float32
+        )
+        return red(jax.ops.segment_sum(yrow, ell.pt.seg, num_segments=P))
+
+    def _ycam_reduce(zp):
+        """t[c] = Σ_{o∈c} Y_o z_{pt(o)}  → [C,6]"""
+        zg = zp[pt_ids].astype(jnp.bfloat16)  # [Rc,Mc,3]
+        trow = jnp.einsum(
+            "rmij,rmj->ri", Ycam, zg, preferred_element_type=jnp.float32
+        )
+        return red(jax.ops.segment_sum(trow, ell.cam.seg, num_segments=C))
+
+    def S_matvec(x):  # x [C,6] f32
+        return jnp.einsum("cij,cj->ci", Ud, x) - _ycam_reduce(_ypt_reduce(x))
+
+    # rhs = bc - Σ_o Y_o (Lᵀ bp)_{pt(o)}
+    u = jnp.einsum("pji,pj->pi", L, bp)  # Lᵀ bp  [P,3]
+    rhs = bc - _ycam_reduce(u)
+
+    # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ as a
+    # per-row batched matmul over the fused (slot × 3) axis
+    Ymat = jnp.transpose(Ycam, (0, 2, 1, 3)).reshape(Rc, 6, Mc * 3)
+    S_rows = jax.lax.dot_general(
+        Ymat, Ymat, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Rc,6,6]
+    Sdiag = Ud - red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))
+    Sdiag = Sdiag + 1e-7 * eye6
+    Minv = jnp.linalg.solve(Sdiag, jnp.broadcast_to(eye6, (C, 6, 6)))
+
+    def precond(x):
+        return jnp.einsum("cij,cj->ci", Minv, x)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+    bnorm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-30
+
+    def cg_cond(carry):
+        i, x, r_, z_, pk, rz = carry
+        return (i < cg_iters) & (jnp.sqrt(jnp.sum(r_ * r_)) > cg_tol * bnorm)
+
+    def cg_body(carry):
+        i, x, r_, z_, pk, rz = carry
+        Ap = S_matvec(pk)
+        denom = jnp.sum(pk * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        x = x + alpha * pk
+        r_new = r_ - alpha * Ap
+        z_new = precond(r_new)
+        rz_new = jnp.sum(r_new * z_new)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        return i + 1, x, r_new, z_new, z_new + beta * pk, rz_new
+
+    _, dx_c, _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (0, x0, r0, z0, z0, rz0)
+    )
+
+    # back-substitute: dp = Vinv bp − L (Σ_{o∈p} Y_oᵀ dx_{cam(o)})
+    ydx = _ypt_reduce(dx_c)  # [P,3]
+    dx_p = jnp.einsum("pij,pj->pi", Vinv, bp) - jnp.einsum(
+        "pij,pj->pi", L, ydx
+    )
+    return dx_c, dx_p
 
 
 def _schur_solve(p: BAProblem, U, V, W, bc, bp, lam, cg_iters, cg_tol):
@@ -310,8 +607,12 @@ def _apply_step(p: BAProblem, dx_c, dx_p) -> BAProblem:
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def solve_ba(p: BAProblem, opts: BAOptions = BAOptions()):
-    """Run LM.  Returns (solved problem, info dict)."""
+def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
+             ell: EllIndex | None = None):
+    """Run LM.  Returns (solved problem, info dict).
+
+    When an EllIndex is supplied (build_ell on the host), the scatter-free
+    gather-major kernels are used — same math, much less HBM pressure."""
 
     def cost_of(prob):
         r, z = _residuals_only(prob)
@@ -326,10 +627,16 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions()):
         it, prob, lam, cost, done = carry
         r, z, Jc, Jp = _residuals_and_jacobians(prob)
         _, w = _robust_cost_and_weight(r, z, prob.obs_w, opts.huber_px)
-        U, V, W, bc, bp = _build_normal_blocks(prob, r, Jc, Jp, w)
-        dx_c, dx_p = _schur_solve(
-            prob, U, V, W, bc, bp, lam, opts.cg_iters, opts.cg_tol
-        )
+        if ell is not None:
+            U, V, W, bc, bp = _build_normal_blocks_ell(prob, ell, r, Jc, Jp, w)
+            dx_c, dx_p = _schur_solve_ell(
+                prob, ell, U, V, W, bc, bp, lam, opts.cg_iters, opts.cg_tol
+            )
+        else:
+            U, V, W, bc, bp = _build_normal_blocks(prob, r, Jc, Jp, w)
+            dx_c, dx_p = _schur_solve(
+                prob, U, V, W, bc, bp, lam, opts.cg_iters, opts.cg_tol
+            )
         cand = _apply_step(prob, dx_c, dx_p)
         new_cost = cost_of(cand)
         accept = new_cost < cost

@@ -6,12 +6,14 @@ TPU-native scale-out called for by BASELINE.json's north star:
 
   * the COO observation table is sharded over the mesh's "obs" axis —
     residual/Jacobian evaluation is embarrassingly parallel;
-  * per-camera 6x6 blocks (U), per-point 3x3 blocks (V), and gradient
-    blocks are partial-summed locally and reduced with lax.psum over ICI;
-  * the reduced camera system (after in-kernel point marginalization) is
-    solved with PCG whose matvec is itself a psum of local per-shard
-    contributions — cameras stay replicated (they are tiny: 6C floats);
-  * the LM outer loop stays in jit via lax.while_loop.
+  * each shard owns its slice of the observation table PLUS its own ELL
+    row tables (optim/ba.build_ell over the local slice), so the sharded
+    solver runs the exact same scatter-free gather-major kernels as the
+    single-chip path, with a lax.psum at each per-segment reduction
+    (the reduce_fn hook in _build_normal_blocks_ell / _schur_solve_ell);
+  * cameras/points stay replicated (tiny: 6C + 3P floats); the reduced
+    camera system is solved by replicated PCG whose matvec psums local
+    per-shard contributions over ICI.
 
 This mirrors the single-chip solver in optim/ba.py step for step, so the
 two paths are testable against each other on a CPU mesh
@@ -29,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..optim import ba as ba_mod
-from ..optim.ba import BAProblem
+from ..optim.ba import BAProblem, EllIndex, RowIndex, build_ell
 
 
 def shard_problem(p: BAProblem, n_shards: int) -> BAProblem:
@@ -51,116 +53,100 @@ def shard_problem(p: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
-def make_distributed_lm_step(mesh: Mesh, axis: str = "obs"):
+def build_sharded_ell(p: BAProblem, n_shards: int,
+                      n_valid: int | None = None) -> EllIndex:
+    """Per-shard ELL tables, padded to common shapes and stacked on a
+    leading device axis ([n_dev, R, M] leaves, to be sharded over "obs").
+
+    The observation table must already be padded to a multiple of
+    n_shards (shard_problem); slot padding uses the LOCAL dummy index
+    (= per-shard slice length)."""
+    oc = np.asarray(p.obs_cam)
+    op = np.asarray(p.obs_pt)
+    O = len(oc)
+    per = O // n_shards
+    C = p.cam_q.shape[0]
+    Pn = p.points.shape[0]
+    nv = O if n_valid is None else int(n_valid)
+    ells = []
+    for i in range(n_shards):
+        lo = i * per
+        local_valid = int(np.clip(nv - lo, 0, per))
+        ells.append(
+            build_ell(oc[lo:lo + per], op[lo:lo + per], C, Pn,
+                      n_valid=local_valid)
+        )
+
+    def stack_side(sides):
+        Rm = max(s.slots.shape[0] for s in sides)
+        Mm = max(s.slots.shape[1] for s in sides)
+        slots = np.full((n_shards, Rm, Mm), per, np.int32)
+        seg = np.zeros((n_shards, Rm), np.int32)
+        other = np.zeros((n_shards, Rm, Mm), np.int32)
+        for i, s in enumerate(sides):
+            r, m = s.slots.shape
+            slots[i, :r, :m] = np.asarray(s.slots)
+            seg[i, :r] = np.asarray(s.seg)
+            other[i, :r, :m] = np.asarray(s.other)
+        return RowIndex(
+            slots=jnp.asarray(slots),
+            seg=jnp.asarray(seg),
+            other=jnp.asarray(other),
+        )
+
+    return EllIndex(
+        cam=stack_side([e.cam for e in ells]),
+        pt=stack_side([e.pt for e in ells]),
+    )
+
+
+def make_distributed_lm_step(mesh: Mesh, axis: str = "obs",
+                             cg_iters: int = 50, cg_tol: float = 1e-6):
     """Build a jitted distributed LM step.
 
-    Returns step(problem, lam) -> (new_problem, new_lam, cost, accepted).
-    The observation arrays must be sharded (or shardable) over `axis`;
-    cameras and points are replicated.
-    """
-    n_dev = mesh.shape[axis]
-
+    Returns step(problem, ell_stacked, lam, huber_px) ->
+    (new_problem, new_lam, cost, accepted).  The observation arrays and
+    the stacked ELL tables must be sharded over `axis`; cameras and
+    points are replicated."""
     obs_spec = P(axis)
     rep = P()
-
-    def _local_blocks(prob_rep, obs_uv, obs_cam, obs_pt, obs_w, huber_px):
-        """Per-shard residuals/Jacobians and partial normal-eq blocks."""
-        local = dataclasses.replace(
-            prob_rep, obs_uv=obs_uv, obs_cam=obs_cam, obs_pt=obs_pt, obs_w=obs_w
-        )
-        r, z, Jc, Jp = ba_mod._residuals_and_jacobians(local)
-        cost_l, w = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
-        U, V, W, bc, bp = ba_mod._build_normal_blocks(local, r, Jc, Jp, w)
-        return cost_l, U, V, W, bc, bp
+    ell_spec = EllIndex(
+        cam=RowIndex(slots=obs_spec, seg=obs_spec, other=obs_spec),
+        pt=RowIndex(slots=obs_spec, seg=obs_spec, other=obs_spec),
+    )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(rep, obs_spec, obs_spec, obs_spec, obs_spec, rep, rep),
-        out_specs=(rep, rep, rep, rep),
+        in_specs=(rep, obs_spec, obs_spec, obs_spec, obs_spec, ell_spec,
+                  rep, rep),
+        out_specs=(rep, rep, rep),
         check_vma=False,
     )
-    def _sharded_step(prob_rep, obs_uv, obs_cam, obs_pt, obs_w, lam, huber_px):
-        C = prob_rep.cam_q.shape[0]
-        Pn = prob_rep.points.shape[0]
-        cost_l, U_l, V_l, W_loc, bc_l, bp_l = _local_blocks(
-            prob_rep, obs_uv, obs_cam, obs_pt, obs_w, huber_px
+    def _sharded_step(prob_rep, obs_uv, obs_cam, obs_pt, obs_w, ell_st,
+                      lam, huber_px):
+        # drop the leading (sharded) device axis of the ELL tables
+        ell = jax.tree_util.tree_map(lambda a: a[0], ell_st)
+        local = dataclasses.replace(
+            prob_rep, obs_uv=obs_uv, obs_cam=obs_cam, obs_pt=obs_pt,
+            obs_w=obs_w,
         )
+        red = lambda x: jax.lax.psum(x, axis)  # noqa: E731
+        r, z, Jc, Jp = ba_mod._residuals_and_jacobians(local)
+        cost_l, w = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
         cost = jax.lax.psum(cost_l, axis)
-        U = jax.lax.psum(U_l, axis)
-        V = jax.lax.psum(V_l, axis)
-        bc = jax.lax.psum(bc_l, axis)
-        bp = jax.lax.psum(bp_l, axis)
-
-        eye6 = jnp.eye(6, dtype=U.dtype)
-        eye3 = jnp.eye(3, dtype=U.dtype)
-        Ud = U + lam * (U * eye6) + 1e-8 * eye6
-        Vd = V + lam * (V * eye3) + 1e-8 * eye3
-        Vinv = ba_mod._inv3x3(Vd)
-
-        def S_matvec(x):
-            # local contribution through this shard's observations
-            WTx = jnp.einsum("oji,oj->oi", W_loc, x[obs_cam])
-            yp = jax.ops.segment_sum(WTx, obs_pt, num_segments=Pn)
-            yp = jax.lax.psum(yp, axis)
-            zp = jnp.einsum("pij,pj->pi", Vinv, yp)
-            Wz = jnp.einsum("oij,oj->oi", W_loc, zp[obs_pt])
-            t2 = jax.ops.segment_sum(Wz, obs_cam, num_segments=C)
-            t2 = jax.lax.psum(t2, axis)
-            return jnp.einsum("cij,cj->ci", Ud, x) - t2
-
-        Wvb_l = jnp.einsum(
-            "oij,oj->oi", W_loc, jnp.einsum("pij,pj->pi", Vinv, bp)[obs_pt]
+        U, V, W, bc, bp = ba_mod._build_normal_blocks_ell(
+            local, ell, r, Jc, Jp, w, reduce_fn=red
         )
-        rhs = bc - jax.lax.psum(
-            jax.ops.segment_sum(Wvb_l, obs_cam, num_segments=C), axis
+        dx_c, dx_p = ba_mod._schur_solve_ell(
+            local, ell, U, V, W, bc, bp, lam, cg_iters, cg_tol,
+            reduce_fn=red,
         )
-
-        WVW_l = jnp.einsum("oij,ojk,olk->oil", W_loc, Vinv[obs_pt], W_loc)
-        Sdiag = Ud - jax.lax.psum(
-            jax.ops.segment_sum(WVW_l, obs_cam, num_segments=C), axis
-        ) + 1e-7 * eye6
-        Minv = jnp.linalg.solve(Sdiag, jnp.broadcast_to(eye6, (C, 6, 6)))
-
-        def precond(x):
-            return jnp.einsum("cij,cj->ci", Minv, x)
-
-        x0 = jnp.zeros_like(rhs)
-        r0 = rhs
-        z0 = precond(r0)
-        rz0 = jnp.sum(r0 * z0)
-        bnorm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-30
-
-        def cg_cond(c):
-            i, x, r_, z_, pk, rz = c
-            return (i < 50) & (jnp.sqrt(jnp.sum(r_ * r_)) > 1e-6 * bnorm)
-
-        def cg_body(c):
-            i, x, r_, z_, pk, rz = c
-            Ap = S_matvec(pk)
-            denom = jnp.sum(pk * Ap)
-            alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
-            x = x + alpha * pk
-            r_new = r_ - alpha * Ap
-            z_new = precond(r_new)
-            rz_new = jnp.sum(r_new * z_new)
-            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-            return i + 1, x, r_new, z_new, z_new + beta * pk, rz_new
-
-        _, dx_c, _, _, _, _ = jax.lax.while_loop(
-            cg_cond, cg_body, (0, x0, r0, z0, z0, rz0)
-        )
-
-        WTdx_l = jax.ops.segment_sum(
-            jnp.einsum("oji,oj->oi", W_loc, dx_c[obs_cam]), obs_pt,
-            num_segments=Pn,
-        )
-        WTdx = jax.lax.psum(WTdx_l, axis)
-        dx_p = jnp.einsum("pij,pj->pi", Vinv, bp - WTdx)
-        return cost, dx_c, dx_p, bc
+        return cost, dx_c, dx_p
 
     @jax.jit
-    def step(prob: BAProblem, lam, huber_px=jnp.float32(4.0)):
+    def step(prob: BAProblem, ell_st: EllIndex, lam,
+             huber_px=jnp.float32(4.0)):
         prob_rep = dataclasses.replace(
             prob,
             obs_uv=jnp.zeros((0, 2), prob.obs_uv.dtype),
@@ -168,13 +154,12 @@ def make_distributed_lm_step(mesh: Mesh, axis: str = "obs"):
             obs_pt=jnp.zeros(0, prob.obs_pt.dtype),
             obs_w=jnp.zeros(0, prob.obs_w.dtype),
         )
-        cost, dx_c, dx_p, _ = _sharded_step(
+        cost, dx_c, dx_p = _sharded_step(
             prob_rep, prob.obs_uv, prob.obs_cam, prob.obs_pt, prob.obs_w,
-            lam, huber_px,
+            ell_st, lam, huber_px,
         )
         cand = ba_mod._apply_step(prob, dx_c, dx_p)
-        # evaluate candidate cost (replicated evaluation is fine: obs math
-        # re-shards automatically under jit)
+        # candidate cost (obs math re-shards automatically under jit)
         r, z = ba_mod._residuals_only(cand)
         new_cost, _ = ba_mod._robust_cost_and_weight(r, z, prob.obs_w, huber_px)
         accept = new_cost < cost
@@ -198,7 +183,11 @@ def solve_distributed(
     """Host-looped distributed LM solve (each iteration is one jitted
     distributed step)."""
     n_dev = mesh.shape["obs"]
+    w_np = np.asarray(prob.obs_w)
+    nz = np.nonzero(w_np > 0)[0]
+    n_valid = int(nz[-1]) + 1 if len(nz) else 0  # trailing rows are padding
     prob = shard_problem(prob, n_dev)
+    ell_st = build_sharded_ell(prob, n_dev, n_valid=n_valid)
     sharding = NamedSharding(mesh, P("obs"))
     rep = NamedSharding(mesh, P())
     prob = dataclasses.replace(
@@ -215,9 +204,12 @@ def solve_distributed(
         fix_trans=jax.device_put(prob.fix_trans, rep),
         fix_pt=jax.device_put(prob.fix_pt, rep),
     )
+    ell_st = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), ell_st
+    )
     step = make_distributed_lm_step(mesh)
     lam = jnp.asarray(lam0, jnp.float32)
     cost = None
     for _ in range(max_iters):
-        prob, lam, cost, accepted = step(prob, lam, jnp.float32(huber_px))
+        prob, lam, cost, accepted = step(prob, ell_st, lam, jnp.float32(huber_px))
     return prob, float(cost)
