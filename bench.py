@@ -84,16 +84,19 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
 
     import jax
 
-    # production-path ELL tables (scatter-free gather-major reductions)
-    ell = ba_mod.build_ell(obs_cam, obs_pt, n_cams, n_pts)
+    # production path: camera-major packed table (camera-side ELL rows are
+    # contiguous reshapes; only the point-side transpose-gather remains)
+    prob, ell = ba_mod.pack_camera_major(prob)
 
     @jax.jit
     def lm_step(p, lam):
         """Full accept/reject LM step (fixed work per call)."""
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians(p)
         cost, w = ba_mod._robust_cost_and_weight(r, z, p.obs_w, 4.0)
-        U, V, W, bc, bp = ba_mod._build_normal_blocks_ell(p, ell, r, Jc, Jp, w)
-        dx_c, dx_p = ba_mod._schur_solve_ell(p, ell, U, V, W, bc, bp, lam, 12, 1e-2)
+        U, V, bc, bp = ba_mod._build_normal_blocks_ell(p, ell, r, Jc, Jp, w)
+        dx_c, dx_p = ba_mod._schur_solve_ell(
+            p, ell, U, V, bc, bp, Jc, Jp, w, lam, 12, 1e-2
+        )
         cand = ba_mod._apply_step(p, dx_c, dx_p)
         r2, z2 = ba_mod._residuals_only(cand)
         c2, _ = ba_mod._robust_cost_and_weight(r2, z2, p.obs_w, 4.0)

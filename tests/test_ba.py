@@ -183,22 +183,57 @@ def test_ell_path_matches_segment_path():
     r, z, Jc, Jp = B._residuals_and_jacobians(pb)
     _, w = B._robust_cost_and_weight(r, z, pb.obs_w, 4.0)
     U1, V1, W1, bc1, bp1 = B._build_normal_blocks(pb, r, Jc, Jp, w)
-    U2, V2, W2, bc2, bp2 = B._build_normal_blocks_ell(pb, ell, r, Jc, Jp, w)
+    U2, V2, bc2, bp2 = B._build_normal_blocks_ell(pb, ell, r, Jc, Jp, w)
+    # the ELL path gathers Jacobians in bf16 (f32 accumulation): blocks
+    # agree to bf16 relative precision (~1%), which the 1e-2-tolerance
+    # inexact-Newton CG absorbs
     for a, b in [(U1, U2), (V1, V2), (bc1, bc2), (bp1, bp2)]:
         scale = float(jnp.max(jnp.abs(a))) + 1e-9
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5 * scale)
-    # W is stored bf16 in the ELL path (it only feeds the bf16 Y blocks)
-    scale = float(jnp.max(jnp.abs(W1))) + 1e-9
-    np.testing.assert_allclose(
-        np.asarray(W1), np.asarray(W2, np.float32), atol=1e-2 * scale
-    )
+                                   atol=1.5e-2 * scale)
 
     s1, i1 = solve_ba(pb, BAOptions(max_iters=20, huber_px=4.0))
     s2, i2 = solve_ba(pb, BAOptions(max_iters=20, huber_px=4.0), ell)
     c1, c2 = float(i1["final_cost"]), float(i2["final_cost"])
     assert abs(c1 - c2) < 0.05 * max(c1, 1.0), (c1, c2)
     assert rms_px(s2) < rms_px(pb) * 0.2
+
+
+def test_camera_major_packing_matches_unpacked():
+    """pack_camera_major (contiguous camera rows, physical padding) must
+    produce the same normal-equation blocks and the same solve as the
+    gather-based ELL layout."""
+    from xrsfm_tpu.optim import ba as B
+
+    p0, _ = build_problem(n_cams=6, n_pts=120, noise_px=0.3, seed=4, drop=0.1)
+    pb = perturb(p0, seed=11)
+    ell0 = B.build_ell(
+        pb.obs_cam, pb.obs_pt, pb.cam_q.shape[0], pb.points.shape[0]
+    )
+    pk, ellk = B.pack_camera_major(pb)
+    assert ellk.cam.contig
+    # padded slots carry zero weight
+    w = np.asarray(pk.obs_w)
+    assert np.isclose(np.sum(w), np.sum(np.asarray(pb.obs_w)))
+
+    r0, z0, Jc0, Jp0 = B._residuals_and_jacobians(pb)
+    _, w0 = B._robust_cost_and_weight(r0, z0, pb.obs_w, 4.0)
+    U0, V0, bc0, bp0 = B._build_normal_blocks_ell(pb, ell0, r0, Jc0, Jp0, w0)
+    rk, zk, Jck, Jpk = B._residuals_and_jacobians(pk)
+    _, wk = B._robust_cost_and_weight(rk, zk, pk.obs_w, 4.0)
+    Uk, Vk, bck, bpk = B._build_normal_blocks_ell(pk, ellk, rk, Jck, Jpk, wk)
+    for a, b in [(U0, Uk), (V0, Vk), (bc0, bck), (bp0, bpk)]:
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1.5e-2 * scale)
+
+    s1, i1 = solve_ba(pb, BAOptions(max_iters=20, huber_px=4.0), ell0)
+    s2, i2 = solve_ba(pk, BAOptions(max_iters=20, huber_px=4.0), ellk)
+    c1, c2 = float(i1["final_cost"]), float(i2["final_cost"])
+    assert abs(c1 - c2) < 0.05 * max(c1, 1.0), (c1, c2)
+    np.testing.assert_allclose(
+        np.asarray(s1.cam_t), np.asarray(s2.cam_t), atol=2e-2
+    )
 
 
 def test_build_ell_tables_are_consistent():

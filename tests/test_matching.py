@@ -93,3 +93,51 @@ def test_match_and_verify_pipeline():
         pt2 = perms[p.id2][p.matches[p.inlier_mask][:, 1]]
         frac_correct = np.mean(pt1 == pt2)
         assert frac_correct > 0.95, frac_correct
+
+
+def _hamming_brute(d1, d2):
+    """Reference popcount distance matrix (numpy bit ops)."""
+    b1 = np.unpackbits(d1, axis=1).astype(np.int32)  # [N,256]
+    b2 = np.unpackbits(d2, axis=1).astype(np.int32)
+    return (b1[:, None, :] != b2[None, :, :]).sum(-1)
+
+
+def test_orb_hamming_matcher_matches_reference_semantics():
+    """match_descriptors_hamming reproduces OrbMatch's accept rule
+    (reference: src/feature/feature_processing.cc:171-219 — best <= 80,
+    best <= 0.9 * second, mutual best)."""
+    rng = np.random.default_rng(7)
+    n = 120
+    base = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    # corrupt a few bits to create realistic near-matches
+    perm = rng.permutation(n)
+    d2 = base[perm].copy()
+    flips = rng.integers(0, 2, size=d2.shape, dtype=np.uint8) & rng.integers(
+        0, 2, size=d2.shape, dtype=np.uint8
+    )
+    d2 ^= flips & rng.integers(0, 4, size=d2.shape, dtype=np.uint8)
+
+    got, dists = dmatch.match_pair_host_hamming(base, d2)
+
+    # brute-force reference of the same accept rule
+    D = _hamming_brute(base, d2)
+    exp = []
+    bj = D.argmin(1)
+    bi = D.argmin(0)
+    for i in range(n):
+        j = bj[i]
+        dsort = np.sort(D[i])
+        if (
+            D[i, j] <= 80
+            and D[i, j] <= 0.9 * dsort[1]
+            and bi[j] == i
+        ):
+            exp.append((i, j))
+    exp = np.array(exp)
+    got_set = {tuple(m) for m in got}
+    exp_set = {tuple(m) for m in exp}
+    assert got_set == exp_set, (len(got_set), len(exp_set))
+    # distances returned in bits, exact
+    Dmap = {tuple(m): D[m[0], m[1]] for m in exp}
+    for m, dd in zip(got, dists):
+        assert Dmap[tuple(m)] == int(round(float(dd)))

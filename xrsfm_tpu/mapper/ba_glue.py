@@ -15,7 +15,7 @@ import numpy as np
 
 from . import kernels
 from ..base.map import SfMMap
-from ..optim.ba import BAOptions, BAProblem, build_ell, solve_ba
+from ..optim.ba import BAOptions, BAProblem, pack_camera_major, solve_ba
 
 
 @dataclasses.dataclass
@@ -144,7 +144,8 @@ def build_problem(
         fix_trans=jnp.asarray(fix_trans),
         fix_pt=jnp.asarray(fix_pt),
     )
-    ell = build_ell(obs_cam, obs_pt, C, P, n_valid=n_obs)
+    # camera-major packing: camera-side ELL gathers become reshapes
+    prob, ell = pack_camera_major(prob, n_valid=n_obs)
     return prob, frames, tracks, ell
 
 

@@ -105,6 +105,98 @@ def match_descriptors_batch(
     )(d1, d2, mask1, mask2)
 
 
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_descriptors_hamming(
+    d1,
+    d2,
+    mask1,
+    mask2,
+    dist_th: int = 80,
+    ratio_th: float = 0.9,
+    max_matches: int = 4096,
+):
+    """Match two 256-bit ORB descriptor sets (Hamming distance) on the MXU.
+
+    TPU-native replacement for the reference's CPU `OrbMatch`
+    (src/feature/feature_processing.cc:156-219: SWAR-popcount all-pairs
+    Hamming, accept when best <= 80, best <= 0.9 * second-best, and
+    mutual best).  Instead of a popcount loop, descriptors are unpacked
+    to 256 {0,1} bits and hamming(a,b) = |a| + |b| - 2 a.b, so the whole
+    distance matrix is one bf16 matmul with f32 accumulation (exact:
+    all values are small integers).
+
+    d1 [N,32] uint8, d2 [M,32] uint8, mask1 [N], mask2 [M] validity.
+    Returns (matches [max_matches, 2] int32 (padded with -1),
+             num_matches, distances [max_matches] in bits).
+    """
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits1 = ((d1[:, :, None] >> shifts) & 1).reshape(d1.shape[0], 256)
+    bits2 = ((d2[:, :, None] >> shifts) & 1).reshape(d2.shape[0], 256)
+    b1 = bits1.astype(jnp.bfloat16)
+    b2 = bits2.astype(jnp.bfloat16)
+    dot = jax.lax.dot_general(
+        b1, b2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [N,M]
+    n1 = jnp.sum(b1, axis=1, dtype=jnp.float32)
+    n2 = jnp.sum(b2, axis=1, dtype=jnp.float32)
+    dist = n1[:, None] + n2[None, :] - 2.0 * dot
+    big = 1024.0  # > any 256-bit hamming distance
+    dist = jnp.where(mask1[:, None] & mask2[None, :], dist, big)
+
+    # top-2 smallest per row via two min passes
+    best_j = jnp.argmin(dist, axis=1)  # [N]
+    d_best = jnp.take_along_axis(dist, best_j[:, None], axis=1)[:, 0]
+    masked = dist.at[jnp.arange(dist.shape[0]), best_j].set(big)
+    d_second = jnp.min(masked, axis=1)
+
+    col_best_i = jnp.argmin(dist, axis=0)  # [M]
+    mutual = col_best_i[best_j] == jnp.arange(dist.shape[0])
+
+    ok = (
+        mask1
+        & (d_best < big)
+        & (d_best <= dist_th)
+        & (d_best <= ratio_th * d_second)
+        & mutual
+    )
+
+    order = jnp.argsort(~ok)  # accepted rows first (stable)
+    rows = order[:max_matches]
+    valid = ok[rows]
+    matches = jnp.stack(
+        [
+            jnp.where(valid, rows, -1).astype(jnp.int32),
+            jnp.where(valid, best_j[rows], -1).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    return matches, jnp.sum(ok), jnp.where(valid, d_best[rows], 0.0)
+
+
+def match_pair_host_hamming(descs1, descs2, dist_th=80, ratio_th=0.9):
+    """Host wrapper for ORB matching on [N,32] uint8 descriptor arrays."""
+    n, m_ = len(descs1), len(descs2)
+    k = 1
+    while k < max(n, m_, 64):
+        k *= 2
+    d1 = np.zeros((k, 32), np.uint8)
+    d2 = np.zeros((k, 32), np.uint8)
+    d1[:n] = descs1
+    d2[:m_] = descs2
+    m1 = np.zeros(k, bool)
+    m1[:n] = True
+    m2 = np.zeros(k, bool)
+    m2[:m_] = True
+    matches, cnt, dists = match_descriptors_hamming(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m1), jnp.asarray(m2),
+        dist_th, ratio_th, min(k, 4096),
+    )
+    cnt = int(cnt)
+    out = np.asarray(matches)
+    out = out[out[:, 0] >= 0][:cnt]
+    return out.astype(np.int32), np.asarray(dists)[: len(out)]
+
+
 def match_pair_host(feats1, feats2, dist_th=0.7, ratio_th=0.8):
     """Convenience host wrapper on FrameFeatures-like (keypoints, descriptors)."""
     n, m_ = len(feats1), len(feats2)

@@ -70,11 +70,20 @@ class RowIndex:
     a fixed width M; heavy segments span several rows, so padding is
     bounded by M-1 per segment instead of (max-count − count).  Per-segment
     reductions become: dense gather [R, M, ...] → per-row reduce → a tiny
-    segment_sum over the ~R rows."""
+    segment_sum over the ~R rows.
+
+    When `contig` is set (static), the observation table itself is stored
+    in this row order with physical padding (pack_camera_major), so the
+    "gather" is a free reshape — TPU gathers of 24-48B rows run far below
+    streaming bandwidth, so removing them on the heavier (camera) side is
+    the single biggest win for the bandwidth-bound solver."""
 
     slots: jax.Array  # [R, M] int32 flat obs index, == O for padding
     seg: jax.Array  # [R] int32 segment (camera / point) id per row
     other: jax.Array  # [R, M] int32 the OTHER side's id per slot (0 pad)
+    contig: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -153,11 +162,95 @@ def _bucket(n: int, lo: int = 8) -> int:
     return b
 
 
+def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
+    """Reorder + physically pad the observation table camera-major.
+
+    Returns (packed problem, EllIndex) where the camera-side rows are
+    contiguous slices of the table (RowIndex.contig) — every camera-side
+    gather in the solver becomes a reshape; only the point-side
+    transpose-gather (the irreducible Schur communication between the
+    camera-major and point-major orders) remains.  Padding slots carry
+    obs_w = 0 and point id 0, so they vanish from every reduction.
+    Host-side numpy; O(n log n)."""
+    import numpy as np
+
+    oc = np.asarray(p.obs_cam)
+    op = np.asarray(p.obs_pt)
+    O_full = len(oc)
+    n = O_full if n_valid is None else int(n_valid)
+    C = p.cam_q.shape[0]
+    P = p.points.shape[0]
+    # other_ids must span the FULL table: _build_rows pads slots with
+    # index O_full, which its `other` lookup resolves via an appended row
+    cam_rows = _build_rows(
+        oc[:n].astype(np.int64), op, C, O_full, 256, bucket_lo
+    )
+    slots = np.asarray(cam_rows.slots)  # [Rc, Mc], == O_full for padding
+    seg = np.asarray(cam_rows.seg)
+    Rc, Mc = slots.shape
+    flat = slots.reshape(-1)
+    real = flat < O_full
+    O2 = Rc * Mc
+
+    def take(a, fill=0):
+        a = np.asarray(a)
+        out = np.full((O2,) + a.shape[1:], fill, a.dtype)
+        out[real] = a[flat[real]]
+        return jnp.asarray(out)
+
+    new_cam = np.repeat(seg, Mc).astype(np.int32)
+    new_pt = np.zeros(O2, np.int32)
+    new_pt[real] = op[flat[real]]
+    p2 = dataclasses.replace(
+        p,
+        obs_uv=take(p.obs_uv),
+        obs_cam=jnp.asarray(new_cam),
+        obs_pt=jnp.asarray(new_pt),
+        obs_w=take(p.obs_w),  # physical padding gets weight 0
+    )
+    cam_ri = RowIndex(
+        slots=jnp.asarray(np.arange(O2, dtype=np.int32).reshape(Rc, Mc)),
+        seg=jnp.asarray(seg),
+        other=jnp.asarray(new_pt.reshape(Rc, Mc)),
+        contig=True,
+    )
+    # point-side rows over the REAL slots of the packed table
+    real_idx = np.nonzero(real)[0].astype(np.int64)
+    nr = len(real_idx)
+    compact = _build_rows(
+        new_pt[real_idx].astype(np.int64), new_cam[real_idx], P, nr, 32,
+        bucket_lo,
+    )
+    cslots = np.asarray(compact.slots)
+    if nr:
+        pt_slots = np.where(
+            cslots < nr, real_idx[np.minimum(cslots, nr - 1)], O2
+        ).astype(np.int32)
+    else:
+        pt_slots = np.full_like(cslots, O2)
+    other = np.concatenate([new_cam, np.zeros(1, np.int32)])[pt_slots]
+    pt_ri = RowIndex(
+        slots=jnp.asarray(pt_slots),
+        seg=compact.seg,
+        other=jnp.asarray(other),
+    )
+    return p2, EllIndex(cam=cam_ri, pt=pt_ri)
+
+
 def _gather_obs(a, slots):
     """Gather a per-observation array by an ELL slot table; the dummy
     index O maps to an appended all-zero row."""
     ap = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
     return ap[slots]
+
+
+def _gather_rows(a, ri: RowIndex):
+    """Bring a per-observation array into ELL row layout [R, M, ...] —
+    a free reshape when the table is stored in this order (contig)."""
+    R, M = ri.slots.shape
+    if ri.contig:
+        return a.reshape((R, M) + a.shape[1:])
+    return _gather_obs(a, ri.slots)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,8 +448,13 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     batched matmul over the fused (slot × residual-row) axis (no [*,6,6]
     per-slot intermediates), and a tiny per-row segment_sum.  Gauge masks
     are applied AFTER reduction (each camera row is mask-uniform:
-    U_masked = m mᵀ ⊙ U; fixed points zero V/bp/W), so no masked copy of
+    U_masked = m mᵀ ⊙ U; fixed points zero V/bp), so no masked copy of
     the O-sized Jacobians is ever materialized.
+
+    Jacobians and packed scalars are gathered in bf16 (f32 MXU
+    accumulation): the solver is gather-bandwidth-bound on TPU and the
+    1e-2-tolerance inexact-Newton CG absorbs the <1% block error; the LM
+    accept test stays exact f32.
 
     reduce_fn (e.g. a psum over the mesh's obs axis) is applied to each
     per-segment reduction so the same kernel runs sharded — each shard
@@ -365,18 +463,25 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     C = p.cam_q.shape[0]
     P = p.points.shape[0]
     red = reduce_fn if reduce_fn is not None else (lambda x: x)
+    Jc16 = Jc.astype(jnp.bfloat16)
+    Jp16 = Jp.astype(jnp.bfloat16)
     # packed per-obs scalars: (w, w·r0, w·r1, pad) — one gather per side
     sc = jnp.concatenate(
         [w[:, None], r * w[:, None], jnp.zeros_like(w)[:, None]], axis=1
-    )  # [O, 4]
+    ).astype(jnp.bfloat16)  # [O, 4]
 
     Rc, Mc = ell.cam.slots.shape
-    Jcg = _gather_obs(Jc, ell.cam.slots)  # [Rc,Mc,2,6]
-    scg = _gather_obs(sc, ell.cam.slots)  # [Rc,Mc,4]
+    Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,6] bf16
+    scg = _gather_rows(sc, ell.cam)  # [Rc,Mc,4] bf16
     A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, 6)
     B = Jcg.reshape(Rc, Mc * 2, 6)
-    U_rows = jnp.einsum("rki,rkj->rij", A, B)
-    bc_rows = -jnp.einsum("rki,rk->ri", B, scg[..., 1:3].reshape(Rc, Mc * 2))
+    U_rows = jnp.einsum(
+        "rki,rkj->rij", A, B, preferred_element_type=jnp.float32
+    )
+    bc_rows = -jnp.einsum(
+        "rki,rk->ri", B, scg[..., 1:3].reshape(Rc, Mc * 2),
+        preferred_element_type=jnp.float32,
+    )
     U = red(jax.ops.segment_sum(U_rows, ell.cam.seg, num_segments=C))
     bc = red(jax.ops.segment_sum(bc_rows, ell.cam.seg, num_segments=C))
     m6 = _colmask6(p)
@@ -384,25 +489,41 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     bc = bc * m6
 
     Rp, Lw = ell.pt.slots.shape
-    Jpg = _gather_obs(Jp, ell.pt.slots)  # [Rp,Lw,2,3]
-    spg = _gather_obs(sc, ell.pt.slots)  # [Rp,Lw,4]
+    Jpg = _gather_rows(Jp16, ell.pt)  # [Rp,Lw,2,3] bf16
+    spg = _gather_rows(sc, ell.pt)  # [Rp,Lw,4] bf16
     A2 = (Jpg * spg[..., 0][..., None, None]).reshape(Rp, Lw * 2, 3)
     B2 = Jpg.reshape(Rp, Lw * 2, 3)
-    V_rows = jnp.einsum("rki,rkj->rij", A2, B2)
-    bp_rows = -jnp.einsum("rki,rk->ri", B2, spg[..., 1:3].reshape(Rp, Lw * 2))
+    V_rows = jnp.einsum(
+        "rki,rkj->rij", A2, B2, preferred_element_type=jnp.float32
+    )
+    bp_rows = -jnp.einsum(
+        "rki,rk->ri", B2, spg[..., 1:3].reshape(Rp, Lw * 2),
+        preferred_element_type=jnp.float32,
+    )
     V = red(jax.ops.segment_sum(V_rows, ell.pt.seg, num_segments=P))
     bp = red(jax.ops.segment_sum(bp_rows, ell.pt.seg, num_segments=P))
     ptm = (~p.fix_pt).astype(V.dtype)
     V = V * ptm[:, None, None]
     bp = bp * ptm[:, None]
+    return U, V, bc, bp
 
-    # coupling blocks, masked per obs (camera cols × point scalar), stored
-    # bf16 — W only feeds Y = W·chol(Vinv) which is bf16 anyway
-    wmask = w * ptm[p.obs_pt]
-    Wm = jnp.einsum(
-        "ori,orj,o,oi->oij", Jc, Jp, wmask, m6[p.obs_cam]
-    ).astype(jnp.bfloat16)  # [O,6,3]
-    return U, V, Wm, bc, bp
+
+def _inv6x6_spd(M):
+    """Batched closed-form inverse of SPD 6x6 blocks via 3x3-block Schur
+    complement (avoids XLA's batched-LU path, which is slow for tiny
+    blocks on TPU)."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    D = M[..., 3:, 3:]
+    Ai = _inv3x3(A)
+    AiB = jnp.einsum("...ij,...jk->...ik", Ai, B)
+    S = D - jnp.einsum("...ji,...jk->...ik", B, AiB)
+    Si = _inv3x3(S)
+    TR = -jnp.einsum("...ij,...jk->...ik", AiB, Si)
+    TL = Ai - jnp.einsum("...ij,...kj->...ik", TR, AiB)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _chol3x3(M):
@@ -424,17 +545,20 @@ def _chol3x3(M):
     )
 
 
-def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, W, bc, bp, lam,
-                     cg_iters, cg_tol, reduce_fn=None):
+def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
+                     lam, cg_iters, cg_tol, reduce_fn=None):
     """ELL-layout Schur solve: points marginalized in closed form, PCG on
     the reduced camera system with scatter-free matvecs.
 
-    Key substitution: with L = chol(Vinv), Y_o = W_o L_p absorbs the point
-    marginalization — the correction term G V⁻¹ Gᵀ becomes (GL)(GL)ᵀ, so
-    the CG matvec needs only Y (gathered ONCE into both row layouts, bf16
-    — f32 accumulation), its diagonal (the SCHUR_JACOBI preconditioner) is
-    one batched matmul per row, and no 3x3 multiplies remain in the CG
-    loop."""
+    Key substitution: with L = chol(Vinv), Y_o = (w_o Jc_oᵀ Jp_o) L_p
+    absorbs the point marginalization — the correction term G V⁻¹ Gᵀ
+    becomes (GL)(GL)ᵀ, so the CG matvec needs only Y (gathered ONCE into
+    both row layouts, bf16 — f32 accumulation), its diagonal (the
+    SCHUR_JACOBI preconditioner) is one batched matmul per row, and no
+    3x3 multiplies remain in the CG loop.  Y is built directly from the
+    bf16 Jacobians through a slim [O,2,3] intermediate Z = Jp·L·w — the
+    explicit 6x3 coupling blocks W of the textbook formulation are never
+    materialized (HBM gathers dominate this solver's runtime)."""
     C = p.cam_q.shape[0]
     P = p.points.shape[0]
     red = reduce_fn if reduce_fn is not None else (lambda x: x)
@@ -446,13 +570,26 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, W, bc, bp, lam,
     Vinv = _inv3x3(Vd)
     L = _chol3x3(Vinv)  # [P,3,3]
 
-    Lg = L[p.obs_pt]  # [O,3,3]
-    Y = jnp.einsum("oij,ojk->oik", W, Lg).astype(jnp.bfloat16)  # [O,6,3]
+    ptm = (~p.fix_pt).astype(w.dtype)
+    wm = (w * ptm[p.obs_pt]).astype(jnp.bfloat16)
+    Lg = L.astype(jnp.bfloat16)[p.obs_pt]  # [O,3,3] bf16
+    Z = (
+        jnp.einsum("orj,ojk->ork", Jp.astype(jnp.bfloat16), Lg)
+        * wm[:, None, None]
+    )  # [O,2,3] bf16
+    m6g = _colmask6(p).astype(jnp.bfloat16)[p.obs_cam]  # [O,6]
+    Y = (
+        jnp.einsum(
+            "ori,ork->oik", Jc.astype(jnp.bfloat16), Z,
+            preferred_element_type=jnp.float32,
+        )
+        * m6g[:, :, None]
+    ).astype(jnp.bfloat16)  # [O,6,3]
 
     Rc, Mc = ell.cam.slots.shape
     Rp, Lw = ell.pt.slots.shape
-    Ypt = _gather_obs(Y, ell.pt.slots)  # [Rp,Lw,6,3] bf16
-    Ycam = _gather_obs(Y, ell.cam.slots)  # [Rc,Mc,6,3] bf16
+    Ypt = _gather_rows(Y, ell.pt)  # [Rp,Lw,6,3] bf16
+    Ycam = _gather_rows(Y, ell.cam)  # [Rc,Mc,6,3] bf16
     cam_ids = ell.pt.other  # [Rp,Lw]
     pt_ids = ell.cam.other  # [Rc,Mc]
 
@@ -488,7 +625,7 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, W, bc, bp, lam,
     )  # [Rc,6,6]
     Sdiag = Ud - red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))
     Sdiag = Sdiag + 1e-7 * eye6
-    Minv = jnp.linalg.solve(Sdiag, jnp.broadcast_to(eye6, (C, 6, 6)))
+    Minv = _inv6x6_spd(Sdiag)
 
     def precond(x):
         return jnp.einsum("cij,cj->ci", Minv, x)
@@ -628,9 +765,10 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
         r, z, Jc, Jp = _residuals_and_jacobians(prob)
         _, w = _robust_cost_and_weight(r, z, prob.obs_w, opts.huber_px)
         if ell is not None:
-            U, V, W, bc, bp = _build_normal_blocks_ell(prob, ell, r, Jc, Jp, w)
+            U, V, bc, bp = _build_normal_blocks_ell(prob, ell, r, Jc, Jp, w)
             dx_c, dx_p = _schur_solve_ell(
-                prob, ell, U, V, W, bc, bp, lam, opts.cg_iters, opts.cg_tol
+                prob, ell, U, V, bc, bp, Jc, Jp, w, lam,
+                opts.cg_iters, opts.cg_tol,
             )
         else:
             U, V, W, bc, bp = _build_normal_blocks(prob, r, Jc, Jp, w)

@@ -135,11 +135,11 @@ def make_distributed_lm_step(mesh: Mesh, axis: str = "obs",
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians(local)
         cost_l, w = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
         cost = jax.lax.psum(cost_l, axis)
-        U, V, W, bc, bp = ba_mod._build_normal_blocks_ell(
+        U, V, bc, bp = ba_mod._build_normal_blocks_ell(
             local, ell, r, Jc, Jp, w, reduce_fn=red
         )
         dx_c, dx_p = ba_mod._schur_solve_ell(
-            local, ell, U, V, W, bc, bp, lam, cg_iters, cg_tol,
+            local, ell, U, V, bc, bp, Jc, Jp, w, lam, cg_iters, cg_tol,
             reduce_fn=red,
         )
         return cost, dx_c, dx_p
