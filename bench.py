@@ -119,25 +119,27 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
     return iters / dt, len(obs_cam), final_cost
 
 
-def bench_matching(n_feats=4096, n_pairs=20, seed=0):
+def bench_matching(n_feats=4096, batch=16, reps=10, seed=0):
+    """Production-path matcher throughput: fused Pallas kernel, pairs
+    batched as in feature/matching.match_and_verify_pairs."""
     import jax
     import jax.numpy as jnp
 
     from xrsfm_tpu.ops import matching as dmatch
 
     rng = np.random.default_rng(seed)
-    d = rng.integers(0, 90, size=(2, n_feats, 128), dtype=np.uint8)
+    d = rng.integers(0, 90, size=(2, batch, n_feats, 128), dtype=np.uint8)
     d1 = jnp.asarray(d[0])
     d2 = jnp.asarray(d[1])
-    m = jnp.ones(n_feats, bool)
-    out = dmatch.match_descriptors(d1, d2, m, m)  # compile
-    int(out[1])
+    m = jnp.ones((batch, n_feats), bool)
+    out = dmatch.match_descriptors_batch(d1, d2, m, m)  # compile
+    int(out[1][0])
     t0 = time.perf_counter()
-    for _ in range(n_pairs):
-        out = dmatch.match_descriptors(d1, d2, m, m)
-    int(out[1])  # host fetch = sync barrier (axon: block_until_ready no-op)
+    for _ in range(reps):
+        out = dmatch.match_descriptors_batch(d1, d2, m, m)
+    int(out[1][0])  # host fetch = sync barrier (axon: block_until_ready no-op)
     dt = time.perf_counter() - t0
-    return n_pairs / dt
+    return batch * reps / dt
 
 
 def main():

@@ -95,6 +95,44 @@ def test_match_and_verify_pipeline():
         assert frac_correct > 0.95, frac_correct
 
 
+def test_fused_pallas_matcher_matches_xla_path():
+    """The fused Pallas kernel (interpret mode on CPU) must agree with
+    the XLA fallback exactly: same accepted set, same counts, same
+    distances (both compute the identical raw uint8 dot products)."""
+    rng = np.random.default_rng(11)
+    N = 256  # pallas-eligible: multiples of 128, D=128
+    d1 = quantize_desc(random_descriptors(rng, N))
+    d2 = quantize_desc(random_descriptors(rng, N))
+    # overlap half the features so there are real matches
+    d2[: N // 2] = d1[: N // 2]
+    m1 = np.ones(N, bool)
+    m2 = np.ones(N, bool)
+    m1[-7:] = False  # exercise masking
+    m2[-3:] = False
+    assert dmatch._pallas_ok(N, N, 128)
+
+    mf, cf, df = dmatch._match_batch_fused(
+        jnp.asarray(d1)[None], jnp.asarray(d2)[None],
+        jnp.asarray(m1)[None], jnp.asarray(m2)[None], 0.7, 0.8, 256,
+    )
+    mx, cx, dx = dmatch._match_descriptors_xla(
+        jnp.asarray(d1), jnp.asarray(d2),
+        jnp.asarray(m1), jnp.asarray(m2), 0.7, 0.8, 256,
+    )
+    assert int(cf[0]) == int(cx)
+    got = {tuple(r) for r in np.asarray(mf[0]) if r[0] >= 0}
+    exp = {tuple(r) for r in np.asarray(mx) if r[0] >= 0}
+    assert got == exp and len(got) == int(cx)
+    dmap_f = {tuple(r): float(v)
+              for r, v in zip(np.asarray(mf[0]), np.asarray(df[0]))
+              if r[0] >= 0}
+    dmap_x = {tuple(r): float(v)
+              for r, v in zip(np.asarray(mx), np.asarray(dx))
+              if r[0] >= 0}
+    for k in exp:
+        assert abs(dmap_f[k] - dmap_x[k]) < 1e-5
+
+
 def _hamming_brute(d1, d2):
     """Reference popcount distance matrix (numpy bit ops)."""
     b1 = np.unpackbits(d1, axis=1).astype(np.int32)  # [N,256]

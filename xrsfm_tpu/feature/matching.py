@@ -136,23 +136,34 @@ def match_and_verify_pairs(
     descs_d = jnp.asarray(descs)
     masks_d = jnp.asarray(masks)
 
-    # pass 1: descriptor matching (device; one dispatch per pair, the
-    # matmul dominates)
+    # pass 1: descriptor matching — pairs batched into fixed-size chunks
+    # (one fused-kernel dispatch and ONE host sync per chunk; per-pair
+    # dispatch + int(cnt) syncs dominated wall-clock before)
     cand = []  # (i, j, matches [M,2], dists [M])
-    for pi, (i, j) in enumerate(pair_ids):
-        matches, cnt, dists = dmatch.match_descriptors(
-            descs_d[i], descs_d[j], masks_d[i], masks_d[j],
-            opts.dist_th, opts.ratio_th, min(K, 4096),
+    mm = min(K, 4096)
+    B = 16
+    for s in range(0, len(pair_ids), B):
+        grp = list(pair_ids[s : s + B])
+        pad = B - len(grp)
+        idx = np.asarray(grp + [grp[-1]] * pad, np.int32)  # keep B static
+        matches, cnts, dists = dmatch.match_descriptors_batch(
+            descs_d[idx[:, 0]], descs_d[idx[:, 1]],
+            masks_d[idx[:, 0]], masks_d[idx[:, 1]],
+            opts.dist_th, opts.ratio_th, mm,
         )
-        n_m = int(cnt)
-        if n_m < max(8, opts.min_inliers):
-            continue
-        mnp = np.asarray(matches)
-        mnp = mnp[mnp[:, 0] >= 0][:n_m]
-        cand.append((i, j, mnp, np.asarray(dists)[: len(mnp)]))
-        if verbose and (pi % 200 == 0):
+        m_np, c_np, d_np = (np.asarray(matches), np.asarray(cnts),
+                            np.asarray(dists))
+        for k, (i, j) in enumerate(grp):
+            n_m = int(c_np[k])
+            if n_m < max(8, opts.min_inliers):
+                continue
+            mnp = m_np[k]
+            mnp = mnp[mnp[:, 0] >= 0][:n_m]
+            cand.append((i, j, mnp, d_np[k][: len(mnp)]))
+        if verbose and ((s // B) % 16 == 0):
             print(
-                f"[matching] matched {pi + 1}/{len(pair_ids)}",
+                f"[matching] matched {min(s + B, len(pair_ids))}"
+                f"/{len(pair_ids)}",
                 flush=True,
             )
 

@@ -23,11 +23,164 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _QUANT = 512.0
+_BIG = 1e9  # > any raw uint8 descriptor dot product (<= 255^2 * 128)
+
+
+def _topstats_kernel(d1_ref, d2_ref, m1_ref, m2_ref,
+                     best_ref, sec_ref, bestj_ref, colmax_ref, colarg_ref,
+                     *, tn: int):
+    """Fused per-row-tile matcher statistics.
+
+    One MXU matmul produces the [tn, M] similarity block in VMEM; row
+    best/second/argmax and the running column max/argmax (for the mutual
+    check) are reduced on the VPU without the [N, M] matrix ever touching
+    HBM.  Column stats accumulate across the row-tile grid axis (TPU grid
+    steps run sequentially; the col blocks are revisited consecutively).
+    uint8 descriptors are exact in bf16 (integers < 2^8) and the f32 MXU
+    accumulation is exact (dots < 2^24), so this path is bit-exact."""
+    i = pl.program_id(1)
+    sim = jax.lax.dot_general(
+        d1_ref[0], d2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tn, M]
+    m1 = m1_ref[0]  # [tn, 1] f32
+    m2 = m2_ref[0]  # [1, M] f32
+    simr = sim + (m2 - 1.0) * _BIG  # invalid cols -> -BIG
+    M = sim.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    rmax = jnp.max(simr, axis=1, keepdims=True)
+    bestj = jnp.min(jnp.where(simr >= rmax, col_ids, M), axis=1,
+                    keepdims=True)
+    sec = jnp.max(jnp.where(col_ids == bestj, -_BIG, simr), axis=1,
+                  keepdims=True)
+    best_ref[0] = rmax
+    sec_ref[0] = sec
+    bestj_ref[0] = bestj
+    simc = simr + (m1 - 1.0) * _BIG  # invalid rows excluded from col max
+    cmax = jnp.max(simc, axis=0, keepdims=True)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0) + i * tn
+    carg = jnp.min(jnp.where(simc >= cmax, row_ids, 1 << 30), axis=0,
+                   keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        colmax_ref[0] = cmax
+        colarg_ref[0] = carg
+
+    @pl.when(i > 0)
+    def _():
+        upd = cmax > colmax_ref[0]
+        colmax_ref[0] = jnp.where(upd, cmax, colmax_ref[0])
+        colarg_ref[0] = jnp.where(upd, carg, colarg_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _topstats_pallas(d1, d2, m1, m2, interpret=False):
+    """Batched fused matcher statistics.  d1 [B,N,D] uint8, d2 [B,M,D],
+    masks [B,N]/[B,M] bool.  Returns (best [B,N], second [B,N],
+    best_j [B,N], col_arg [B,M]) with raw (un-normalized) f32 dots."""
+    B, N, D = d1.shape
+    M = d2.shape[1]
+    tn = 256 if (M <= 4096 and N % 256 == 0) else 128
+    d1b = d1.astype(jnp.bfloat16)
+    d2b = d2.astype(jnp.bfloat16)
+    m1f = m1.astype(jnp.float32)[:, :, None]
+    m2f = m2.astype(jnp.float32)[:, None, :]
+    best, sec, bestj, _, colarg = pl.pallas_call(
+        functools.partial(_topstats_kernel, tn=tn),
+        grid=(B, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d1b, d2b, m1f, m2f)
+    return best[:, :, 0], sec[:, :, 0], bestj[:, :, 0], colarg[:, 0, :]
+
+
+def _pallas_ok(n: int, m: int, d: int) -> bool:
+    """The fused kernel needs the full [M, D] block + a [tn, M] f32 sim
+    block in VMEM and row tiles dividing N."""
+    return d == 128 and m <= 8192 and n % 128 == 0 and m % 128 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("max_matches",))
+def _accept_compact(cos_best, cos_second, best_j, col_arg, mask1,
+                    dist_th, ratio_th, max_matches: int):
+    """Shared accept rule (distance + ratio + mutual, reference
+    feature_processing.cc:118-154) and compaction to the first
+    max_matches accepted rows."""
+    N = cos_best.shape[0]
+    neg = -2.0
+    dist_best = jnp.arccos(jnp.clip(cos_best, -1.0, 1.0))
+    dist_second = jnp.arccos(jnp.clip(cos_second, -1.0, 1.0))
+    mutual = col_arg[best_j] == jnp.arange(N)
+    ok = (
+        mask1
+        & (cos_best > neg + 1)
+        & (dist_best < dist_th)
+        & (dist_best < ratio_th * dist_second)
+        & mutual
+    )
+    order = jnp.argsort(~ok)  # accepted rows first (stable)
+    rows = order[:max_matches]
+    valid = ok[rows]
+    matches = jnp.stack(
+        [
+            jnp.where(valid, rows, -1).astype(jnp.int32),
+            jnp.where(valid, best_j[rows], -1).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    return matches, jnp.sum(ok), jnp.where(valid, dist_best[rows], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def _match_batch_fused(d1, d2, mask1, mask2, dist_th, ratio_th,
+                       max_matches: int):
+    interp = jax.default_backend() not in ("tpu", "axon")
+    best, sec, bestj, colarg = _topstats_pallas(
+        d1, d2, mask1, mask2, interpret=interp
+    )
+    q2 = _QUANT * _QUANT
+    cb = jnp.where(mask1, best / q2, -2.0)
+    cs = jnp.clip(sec / q2, -2.0, 1.0)
+    return jax.vmap(
+        lambda a, b, c, d, m: _accept_compact(
+            a, b, c, d, m, dist_th, ratio_th, max_matches
+        )
+    )(cb, cs, bestj, colarg, mask1)
+
+
 def match_descriptors(
     d1,
     d2,
@@ -42,7 +195,30 @@ def match_descriptors(
     d1 [N,128] uint8, d2 [M,128] uint8, mask1 [N], mask2 [M] validity.
     Returns (matches [max_matches, 2] int32 (padded with -1),
              num_matches, distances [max_matches]).
-    """
+
+    Routes to the fused Pallas kernel when shapes allow (see
+    match_descriptors_batch); the XLA body below is the fallback."""
+    if _pallas_ok(d1.shape[0], d2.shape[0], d1.shape[1]):
+        m, c, dd = _match_batch_fused(
+            d1[None], d2[None], mask1[None], mask2[None],
+            dist_th, ratio_th, max_matches,
+        )
+        return m[0], c[0], dd[0]
+    return _match_descriptors_xla(
+        d1, d2, mask1, mask2, dist_th, ratio_th, max_matches
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def _match_descriptors_xla(
+    d1,
+    d2,
+    mask1,
+    mask2,
+    dist_th: float = 0.7,
+    ratio_th: float = 0.8,
+    max_matches: int = 4096,
+):
     # bf16 descriptors: the 128-dim dot product accumulates in f32 on the
     # MXU (preferred_element_type); descriptor values are <=255 so bf16
     # (8-bit mantissa) loses <0.5% on the cosine — well inside the
@@ -93,13 +269,31 @@ def match_descriptors(
     return matches, jnp.sum(ok), jnp.where(valid, dist_best[rows], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches",))
 def match_descriptors_batch(
     d1, d2, mask1, mask2, dist_th=0.7, ratio_th=0.8, max_matches: int = 4096
 ):
-    """vmapped pair matching: d1, d2 [B, K, 128]; masks [B, K]."""
+    """Batched pair matching: d1, d2 [B, K, 128]; masks [B, K].
+
+    Routes to the fused Pallas kernel (one matmul + in-VMEM reductions
+    per pair; ~10x the XLA path, which materializes the [K, K] similarity
+    matrix in HBM) whenever shapes allow, else to the vmapped XLA path."""
+    B, N, D = d1.shape
+    M = d2.shape[1]
+    if _pallas_ok(N, M, D):
+        return _match_batch_fused(
+            d1, d2, mask1, mask2, dist_th, ratio_th, max_matches
+        )
+    return _match_batch_xla(d1, d2, mask1, mask2, dist_th, ratio_th,
+                            max_matches)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def _match_batch_xla(
+    d1, d2, mask1, mask2, dist_th=0.7, ratio_th=0.8, max_matches: int = 4096
+):
+    """vmapped XLA fallback for shapes the fused kernel can't take."""
     return jax.vmap(
-        lambda a, b, ma, mb: match_descriptors(
+        lambda a, b, ma, mb: _match_descriptors_xla(
             a, b, ma, mb, dist_th, ratio_th, max_matches
         )
     )(d1, d2, mask1, mask2)
