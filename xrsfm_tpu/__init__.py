@@ -19,6 +19,8 @@ def enable_compilation_cache(path: str = "/root/.cache/xrsfm_tpu_jax"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERY compile: on this 2-vCPU host even "small" XLA
+    # compiles cost ~0.5 s each, and a mapper run issues hundreds
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,24 +46,46 @@ class ErrorCorrectOptions:
     covis_min_shared: int = 10
 
 
+@jax.jit
+def _rel_pose_stats(q1, t1, q2, t2, uv1, uv2, mask, th):
+    """One fused device step for the relative-pose consistency test:
+    relative pose -> essential -> Sampson -> masked good/total counts.
+    Eagerly composing these ops recompiled per match-count shape (~0.5 s
+    per tiny XLA program on this host); jit + bucket padding makes the
+    whole check one cached dispatch and one host fetch."""
+    qr, tr = G.pose_relative(q2, t2, q1, t1)  # T21: x2 = R x1 + t
+    baseline = jnp.linalg.norm(tr)
+    E = epipolar.essential_from_pose(qr, tr / jnp.maximum(baseline, 1e-12))
+    errs = epipolar.sampson_error(E, uv1, uv2)
+    good = (errs < th) & mask
+    return jnp.stack([
+        jnp.sum(good).astype(jnp.float32),
+        jnp.sum(mask).astype(jnp.float32),
+        baseline,
+    ])
+
+
 def is_good_relative_pose(m: SfMMap, id1: int, id2: int, matches,
                           opts: ErrorCorrectOptions) -> bool:
     """Matches consistent with the current relative pose?
     (reference: IsGoodRelativePose, error_detector.cc:5-101)."""
-    q1, t1 = jnp.asarray(m.q[id1], jnp.float32), jnp.asarray(m.t[id1], jnp.float32)
-    q2, t2 = jnp.asarray(m.q[id2], jnp.float32), jnp.asarray(m.t[id2], jnp.float32)
-    # T21 maps cam1 coords to cam2: x2 = R x1 + t
-    qr, tr = G.pose_relative(q2, t2, q1, t1)
-    baseline = float(jnp.linalg.norm(tr))
-    if baseline < opts.pure_rotation_th:
-        return True  # pure rotation: skip (reference behavior)
-    E = epipolar.essential_from_pose(qr, tr / baseline)
-    uv1 = jnp.asarray(m.kps_norm[id1][matches[:, 0]])
-    uv2 = jnp.asarray(m.kps_norm[id2][matches[:, 1]])
-    errs = epipolar.sampson_error(E, uv1, uv2)
+    from . import kernels as K
+
+    n = len(matches)
+    nb = K.bucket(n)
+    uv1 = K.pad_rows(m.kps_norm[id1][matches[:, 0]], nb)
+    uv2 = K.pad_rows(m.kps_norm[id2][matches[:, 1]], nb)
+    mask = np.arange(nb) < n
     th = float(np.sin(np.deg2rad(opts.angle_band_deg))) ** 2
-    good = np.asarray(errs) < th
-    return bool(np.mean(good) >= opts.min_good_ratio)
+    stats = np.asarray(_rel_pose_stats(
+        jnp.asarray(m.q[id1], jnp.float32), jnp.asarray(m.t[id1], jnp.float32),
+        jnp.asarray(m.q[id2], jnp.float32), jnp.asarray(m.t[id2], jnp.float32),
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask),
+        jnp.float32(th),
+    ))
+    if stats[2] < opts.pure_rotation_th:
+        return True  # pure rotation: skip (reference behavior)
+    return bool(stats[0] >= opts.min_good_ratio * max(stats[1], 1.0))
 
 
 def check_all_relative_pose(m: SfMMap, frame: int,
@@ -82,11 +105,11 @@ def check_all_relative_pose(m: SfMMap, frame: int,
             continue
         if not engage_all:
             # engage only for weakly covisible pairs (suspicious links)
-            shared = 0
-            for p2d in (matches[:, 0] if id1 == frame else matches[:, 1]):
-                tid = m.track_of[frame][p2d]
-                if tid >= 0 and m.track_valid[tid] and other in m.track_obs[tid]:
-                    shared += 1
+            p2d = matches[:, 0] if id1 == frame else matches[:, 1]
+            tids = m.track_of[frame][p2d]
+            tids = tids[tids >= 0]
+            tids = tids[m.track_valid[tids]]
+            shared = sum(1 for t in tids if other in m.track_obs[int(t)])
             if shared >= opts.min_covis_engage:
                 continue
         if not is_good_relative_pose(m, id1, id2, matches, opts):
