@@ -1,0 +1,137 @@
+"""Aux subsystems: JSON config, profiler helpers, determinism checksums
+(SURVEY.md §5.1/§5.2/§5.6)."""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xrsfm_tpu.parallel.checksum import array_checksum, pytree_checksum
+from xrsfm_tpu.utils import config as C
+from xrsfm_tpu.utils.profiling import device_time, maybe_trace
+
+
+# --- config -----------------------------------------------------------
+
+
+def _ns(**kw):
+    return argparse.Namespace(**kw)
+
+
+def test_config_reference_keys_run_reconstruction(tmp_path):
+    """config_seq.json-style file (reference run_reconstruction.cc:55-64)."""
+    cfg = tmp_path / "config_seq.json"
+    cfg.write_text(json.dumps({
+        "bin_path": "/x/bins",
+        "camera_path": "/x/camera.txt",
+        "output_path": "/x/out",
+        "init_id1": 3,
+        "init_id2": 7,
+    }))
+    a = _ns(bin_dir=None, camera_txt=None, output_dir=None,
+            init_id1=-1, init_id2=-1)
+    C.resolve("run_reconstruction", a, str(cfg))
+    assert a.bin_dir == "/x/bins"
+    assert a.camera_txt == "/x/camera.txt"
+    assert a.output_dir == "/x/out"
+    assert (a.init_id1, a.init_id2) == (3, 7)
+
+
+def test_config_cli_overrides_json(tmp_path):
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "images_path": "/json/images", "retrieval_path": "/json/r.txt",
+        "matching_type": "retrieval", "output_path": "/json/out",
+    }))
+    a = _ns(images_dir="/cli/images", retrieval_path=None,
+            matching_type=None, output_dir=None)
+    C.resolve("run_matching", a, str(cfg))
+    assert a.images_dir == "/cli/images"  # CLI wins
+    assert a.matching_type == "retrieval"
+
+
+def test_config_file_valued_bin_path_maps_to_dir(tmp_path):
+    """config_tri.json points at images.bin / *.bin files
+    (reference run_triangulation.cc:117-125); we take their dirs."""
+    cfg = tmp_path / "config_tri.json"
+    cfg.write_text(json.dumps({
+        "bin_path": "/m/refine/images.bin",
+        "feature_path": "/w/bins/ftr.bin",
+        "matches_path": "/w/bins/fp.bin",
+        "output_path": "/w/out",
+    }))
+    a = _ns(bin_dir=None, model_dir=None, output_dir=None)
+    C.resolve("run_triangulation", a, str(cfg))
+    assert a.bin_dir == "/w/bins"
+    assert a.model_dir == "/m/refine"
+
+
+def test_config_missing_raises():
+    a = _ns(bin_dir=None, camera_txt=None, output_dir=None,
+            init_id1=-1, init_id2=-1)
+    with pytest.raises(SystemExit):
+        C.resolve("run_reconstruction", a, None)
+
+
+# --- profiling --------------------------------------------------------
+
+
+def test_device_time_runs():
+    f = jax.jit(lambda x: (x * 2.0).sum())
+    t, out = device_time(f, jnp.ones(64), warmup=1, iters=3)
+    assert t >= 0.0 and float(out) == 128.0
+
+
+def test_maybe_trace_noop():
+    with maybe_trace(None):
+        pass
+
+
+# --- checksums --------------------------------------------------------
+
+
+def test_checksum_sharding_invariant():
+    """The same values give the same checksum replicated or sharded
+    over the 8-device mesh (uint32 sums are exactly commutative)."""
+    x = np.arange(4096, dtype=np.float32) * 0.37
+    mesh = Mesh(np.array(jax.devices()), axis_names=("d",))
+    sharded = jax.device_put(x, NamedSharding(mesh, P("d")))
+    plain = jnp.asarray(x)
+    assert int(array_checksum(plain)) == int(array_checksum(sharded))
+
+
+def test_checksum_detects_bitflip():
+    x = np.arange(512, dtype=np.float32)
+    y = x.copy()
+    y[317] = np.nextafter(y[317], np.inf)  # 1-ulp change
+    assert int(array_checksum(jnp.asarray(x))) != int(
+        array_checksum(jnp.asarray(y))
+    )
+
+
+def test_checksum_position_sensitive():
+    x = np.array([1.0, 2.0], np.float32)
+    y = np.array([2.0, 1.0], np.float32)
+    assert int(array_checksum(jnp.asarray(x))) != int(
+        array_checksum(jnp.asarray(y))
+    )
+
+
+def test_pytree_checksum_distinguishes_paths():
+    a = {"q": jnp.ones(8), "t": jnp.zeros(8)}
+    b = {"q": jnp.zeros(8), "t": jnp.ones(8)}
+    assert pytree_checksum(a) != pytree_checksum(b)
+    assert pytree_checksum(a) == pytree_checksum(
+        {"q": jnp.ones(8), "t": jnp.zeros(8)}
+    )
+
+
+def test_checksum_int_and_bool_dtypes():
+    assert int(array_checksum(jnp.arange(16, dtype=jnp.int32))) != 0
+    assert int(array_checksum(jnp.ones(16, bool))) != int(
+        array_checksum(jnp.zeros(16, bool))
+    )

@@ -64,3 +64,20 @@ def test_sharded_matching_matches_single_device():
         )
         assert int(c1) == int(c_sh[k])
         np.testing.assert_array_equal(np.asarray(m1), m_sh[k])
+
+
+def test_distributed_ba_is_deterministic():
+    """Two identical distributed solves produce bitwise-identical state
+    (SURVEY.md §5.2: determinism asserted by checksumming sharded state)."""
+    from xrsfm_tpu.parallel.checksum import pytree_checksum
+
+    p0, _ = build_problem(n_cams=5, n_pts=60, noise_px=0.2, seed=46)
+    p_bad = perturb(p0, seed=47)
+    mesh = Mesh(np.array(jax.devices()), axis_names=("obs",))
+    sums = []
+    for _ in range(2):
+        p_dist, _ = solve_distributed(mesh, p_bad, max_iters=5)
+        sums.append(pytree_checksum(
+            {"q": p_dist.cam_q, "t": p_dist.cam_t, "x": p_dist.points}
+        ))
+    assert sums[0] == sums[1]

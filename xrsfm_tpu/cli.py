@@ -5,6 +5,11 @@ run_triangulation, rec_kitti, rec_1dsfm, estimate_scale,
 unpack_collect_data)
 
 Usage: python -m xrsfm_tpu.cli <command> [args...]
+       python -m xrsfm_tpu.cli <command> --config config.json
+
+Each command also accepts a JSON config file with the same keys the
+reference binaries read (run_matching.cc:158-166 etc.); explicit
+positional arguments override config values.
 """
 
 from __future__ import annotations
@@ -21,50 +26,78 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="xrsfm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("run_matching", help="matching stage")
-    p.add_argument("images_dir")
-    p.add_argument("retrieval_path")
-    p.add_argument("matching_type", choices=["sequential", "retrieval", "covisibility"])
-    p.add_argument("output_dir")
+    def add(name, help_):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("--config", default=None,
+                       help="JSON config (reference-compatible keys)")
+        p.add_argument("--profile_dir", default=None,
+                       help="write a JAX profiler trace here")
+        return p
 
-    p = sub.add_parser("run_reconstruction", help="incremental reconstruction")
-    p.add_argument("bin_dir")
-    p.add_argument("camera_txt")
-    p.add_argument("output_dir")
+    p = add("run_matching", "matching stage")
+    p.add_argument("images_dir", nargs="?")
+    p.add_argument("retrieval_path", nargs="?")
+    p.add_argument("matching_type", nargs="?",
+                   choices=["sequential", "retrieval", "covisibility"])
+    p.add_argument("output_dir", nargs="?")
+
+    p = add("run_reconstruction", "incremental reconstruction")
+    p.add_argument("bin_dir", nargs="?")
+    p.add_argument("camera_txt", nargs="?")
+    p.add_argument("output_dir", nargs="?")
     p.add_argument("--init_id1", type=int, default=-1)
     p.add_argument("--init_id2", type=int, default=-1)
 
-    p = sub.add_parser("run_triangulation", help="triangulate with known poses")
-    p.add_argument("bin_dir")
-    p.add_argument("model_dir")
-    p.add_argument("output_dir")
+    p = add("run_triangulation", "triangulate with known poses")
+    p.add_argument("bin_dir", nargs="?")
+    p.add_argument("model_dir", nargs="?")
+    p.add_argument("output_dir", nargs="?")
 
-    p = sub.add_parser("rec_kitti", help="KITTI odometry reconstruction")
-    p.add_argument("bin_dir")
-    p.add_argument("seq_name")
-    p.add_argument("output_dir")
+    p = add("rec_kitti", "KITTI odometry reconstruction")
+    p.add_argument("bin_dir", nargs="?")
+    p.add_argument("seq_name", nargs="?")
+    p.add_argument("output_dir", nargs="?")
     p.add_argument("--timestamp_path", default="")
 
-    p = sub.add_parser("rec_1dsfm", help="1DSfM unordered scene reconstruction")
-    p.add_argument("bin_dir")
-    p.add_argument("camera_info_path")
-    p.add_argument("output_dir")
+    p = add("rec_1dsfm", "1DSfM unordered scene reconstruction")
+    p.add_argument("bin_dir", nargs="?")
+    p.add_argument("camera_info_path", nargs="?")
+    p.add_argument("output_dir", nargs="?")
 
-    p = sub.add_parser("estimate_scale", help="AprilTag metric scale")
-    p.add_argument("images_dir")
-    p.add_argument("model_dir")
+    p = add("estimate_scale", "AprilTag metric scale")
+    p.add_argument("images_dir", nargs="?")
+    p.add_argument("model_dir", nargs="?")
     p.add_argument("--tag_length", type=float, default=0.113)
 
-    p = sub.add_parser("unpack_collect_data", help="unpack phone capture")
-    p.add_argument("input_path")
-    p.add_argument("output_dir")
+    p = add("unpack_collect_data", "unpack phone capture")
+    p.add_argument("input_path", nargs="?")
+    p.add_argument("output_dir", nargs="?")
 
     args = ap.parse_args(argv)
+    if getattr(args, "config", None) or _has_missing(args):
+        from .utils import config as C
 
+        C.resolve(args.cmd, args, args.config)
+
+    from .utils.profiling import maybe_trace
+
+    with maybe_trace(getattr(args, "profile_dir", None)):
+        _dispatch(args)
+
+
+def _has_missing(args) -> bool:
+    return any(
+        v is None for k, v in vars(args).items()
+        if k not in ("cmd", "config", "profile_dir")
+    )
+
+
+def _dispatch(args):
     if args.cmd == "run_matching":
         from .pipelines import run_matching as M
 
-        M.main(args.images_dir, args.retrieval_path, args.matching_type, args.output_dir)
+        M.main(args.images_dir, args.retrieval_path, args.matching_type,
+               args.output_dir)
     elif args.cmd == "run_reconstruction":
         from .pipelines import run_reconstruction as R
 
@@ -77,7 +110,8 @@ def main(argv=None):
     elif args.cmd == "rec_kitti":
         from .pipelines import rec_kitti as K
 
-        K.main(args.bin_dir, args.seq_name, args.output_dir, args.timestamp_path)
+        K.main(args.bin_dir, args.seq_name, args.output_dir,
+               args.timestamp_path)
     elif args.cmd == "rec_1dsfm":
         from .pipelines import rec_1dsfm as U
 
