@@ -238,10 +238,15 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
 
 
 def _gather_obs(a, slots):
-    """Gather a per-observation array by an ELL slot table; the dummy
-    index O maps to an appended all-zero row."""
-    ap = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
-    return ap[slots]
+    """Gather a per-observation array by an ELL slot table; dummy slots
+    (index O, out of range) read as zero rows.  Implemented as a clamped
+    gather + mask multiply — appending a physical pad row would copy the
+    whole O-sized array per call, and these are the solver's largest
+    intermediates."""
+    O = a.shape[0]
+    g = a[jnp.minimum(slots, O - 1)]
+    valid = (slots < O).astype(a.dtype)
+    return g * valid.reshape(valid.shape + (1,) * (a.ndim - 1))
 
 
 def _gather_rows(a, ri: RowIndex):
@@ -292,6 +297,12 @@ def _residuals_and_jacobians(p: BAProblem):
     intri = p.cam_intri[p.obs_cam]
     xyz = p.points[p.obs_pt]
 
+    # NOTE: the einsum/at-set formulation below looks less direct than a
+    # closed-form stacked construction, but measures ~10% FASTER for the
+    # whole LM step on TPU: XLA recomputes/fuses the einsum chain into
+    # the bf16 ELL consumers, while jnp.stack/concatenate forms force
+    # f32 materialization of Jc/Jp in HBM (measured 33.1 vs 30.4 LM
+    # iters/s on the 140k-obs bench).  Don't "simplify" without timing.
     R = G.quat_to_rotmat(q)  # [O,3,3]
     pc = jnp.einsum("oij,oj->oi", R, xyz) + t
     z = pc[..., 2]
@@ -312,8 +323,7 @@ def _residuals_and_jacobians(p: BAProblem):
     B = jnp.einsum("oij,ojk->oik", A, Jproj)  # [O,2,3] = d pix / d pc
 
     Jw = jnp.einsum("oij,ojk->oik", B, -jnp.einsum("oij,ojk->oik", R, G.skew(xyz)))
-    Jt = B
-    Jc = jnp.concatenate([Jw, Jt], axis=-1)  # [O,2,6]
+    Jc = jnp.concatenate([Jw, B], axis=-1)  # [O,2,6]
     Jp = jnp.einsum("oij,ojk->oik", B, R)  # [O,2,3]
     return r, z, Jc, Jp
 
@@ -341,11 +351,13 @@ def _residuals_only(p: BAProblem):
     t = p.cam_t[p.obs_cam]
     intri = p.cam_intri[p.obs_cam]
     xyz = p.points[p.obs_pt]
-    zero = jnp.zeros(9, p.cam_q.dtype)
-    r, z = jax.vmap(lambda a, b, c, d, e: _obs_residual(zero, a, b, c, d, e))(
-        q, t, intri, p.obs_uv, xyz
-    )
-    return r, z
+    R = G.quat_to_rotmat(q)
+    pc = jnp.einsum("oij,oj->oi", R, xyz) + t
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = pc[..., :2] / zs[..., None]
+    pix = Cam.normalized_to_image(intri, proj)
+    return pix - p.obs_uv, z
 
 
 def _robust_cost_and_weight(r, z, obs_w, huber_px):
@@ -617,10 +629,10 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     rhs = bc - _ycam_reduce(u)
 
     # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ as a
-    # per-row batched matmul over the fused (slot × 3) axis
-    Ymat = jnp.transpose(Ycam, (0, 2, 1, 3)).reshape(Rc, 6, Mc * 3)
+    # multi-contracting dot_general over (slot, 3) — no transposed copy
+    # of the [Rc,Mc,6,3] Y rows
     S_rows = jax.lax.dot_general(
-        Ymat, Ymat, (((2,), (2,)), ((0,), (0,))),
+        Ycam, Ycam, (((1, 3), (1, 3)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [Rc,6,6]
     Sdiag = Ud - red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))
