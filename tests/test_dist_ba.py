@@ -31,6 +31,21 @@ def test_distributed_matches_single_chip():
     assert abs(rms_dist - rms_single) < 0.2, (rms_dist, rms_single)
 
 
+def test_distributed_pod_mesh_2d():
+    """Distributed BA on a 2-D (dcn, ici) pod mesh — obs sharded over the
+    full pod, blocks psum-reduced over both axes (SURVEY.md §5.8)."""
+    p0, _ = build_problem(n_cams=5, n_pts=80, noise_px=0.2, seed=42)
+    p_bad = perturb(p0, seed=43)
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(2, 4), axis_names=("dcn", "ici")
+    )
+    p_dist, cost = solve_distributed(
+        mesh, p_bad, max_iters=15, axis=("dcn", "ici")
+    )
+    assert np.isfinite(cost)
+    assert rms_px(p_dist) < 0.6, rms_px(p_dist)
+
+
 def test_distributed_respects_gauge():
     p0, _ = build_problem(n_cams=5, n_pts=60, noise_px=0.2, seed=44)
     p_bad = perturb(p0, seed=45)

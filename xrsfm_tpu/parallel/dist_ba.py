@@ -100,15 +100,22 @@ def build_sharded_ell(p: BAProblem, n_shards: int,
     )
 
 
-def make_distributed_lm_step(mesh: Mesh, axis: str = "obs",
+def make_distributed_lm_step(mesh: Mesh, axis="obs",
                              cg_iters: int = 50, cg_tol: float = 1e-6):
     """Build a jitted distributed LM step.
 
     Returns step(problem, ell_stacked, lam, huber_px) ->
     (new_problem, new_lam, cost, accepted).  The observation arrays and
     the stacked ELL tables must be sharded over `axis`; cameras and
-    points are replicated."""
-    obs_spec = P(axis)
+    points are replicated.
+
+    `axis` may be a single mesh axis name or a tuple of names — passing
+    ("dcn", "ici") from make_pod_mesh shards the observation table over
+    the full pod and reduces the camera/point blocks with one psum over
+    both axes; XLA lowers that to an in-host ICI reduce followed by the
+    (much smaller) cross-host DCN stage (SURVEY.md §5.8)."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    obs_spec = P(axes)
     rep = P()
     ell_spec = EllIndex(
         cam=RowIndex(slots=obs_spec, seg=obs_spec, other=obs_spec),
@@ -131,10 +138,10 @@ def make_distributed_lm_step(mesh: Mesh, axis: str = "obs",
             prob_rep, obs_uv=obs_uv, obs_cam=obs_cam, obs_pt=obs_pt,
             obs_w=obs_w,
         )
-        red = lambda x: jax.lax.psum(x, axis)  # noqa: E731
+        red = lambda x: jax.lax.psum(x, axes)  # noqa: E731
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians(local)
         cost_l, w = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
-        cost = jax.lax.psum(cost_l, axis)
+        cost = jax.lax.psum(cost_l, axes)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(
             local, ell, r, Jc, Jp, w, reduce_fn=red
         )
@@ -179,16 +186,19 @@ def solve_distributed(
     max_iters: int = 20,
     lam0: float = 1e-4,
     huber_px: float = 4.0,
+    axis="obs",
 ):
     """Host-looped distributed LM solve (each iteration is one jitted
-    distributed step)."""
-    n_dev = mesh.shape["obs"]
+    distributed step).  `axis` may name one mesh axis or a tuple such as
+    ("dcn", "ici") for a pod mesh (parallel/mesh.make_pod_mesh)."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     w_np = np.asarray(prob.obs_w)
     nz = np.nonzero(w_np > 0)[0]
     n_valid = int(nz[-1]) + 1 if len(nz) else 0  # trailing rows are padding
     prob = shard_problem(prob, n_dev)
     ell_st = build_sharded_ell(prob, n_dev, n_valid=n_valid)
-    sharding = NamedSharding(mesh, P("obs"))
+    sharding = NamedSharding(mesh, P(axes))
     rep = NamedSharding(mesh, P())
     prob = dataclasses.replace(
         prob,
@@ -207,7 +217,7 @@ def solve_distributed(
     ell_st = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), ell_st
     )
-    step = make_distributed_lm_step(mesh)
+    step = make_distributed_lm_step(mesh, axis=axes)
     lam = jnp.asarray(lam0, jnp.float32)
     cost = None
     for _ in range(max_iters):
