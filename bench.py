@@ -12,8 +12,10 @@ configuration (no published reference number exists — BASELINE.md notes
 "published": {} — so the denominator is a documented order-of-magnitude
 estimate, kept fixed across rounds for comparability).
 
-Also reports secondary metrics (descriptor-matching pair throughput and
-end-to-end synthetic reconstruction frames/s) inside the JSON line.
+Also reports secondary metrics inside the JSON line: descriptor-matching
+pair throughput (the matching stage's hot op) and the BA problem's
+observation count / final cost (so the headline number is auditable —
+faster iterations that no longer converge would show up here).
 """
 
 import json

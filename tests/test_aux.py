@@ -135,3 +135,45 @@ def test_checksum_int_and_bool_dtypes():
     assert int(array_checksum(jnp.ones(16, bool))) != int(
         array_checksum(jnp.zeros(16, bool))
     )
+
+
+def test_write_trajectory_inverts_tcw(tmp_path):
+    """write_trajectory emits world-from-camera poses: q_wc = conj(q_cw),
+    center = -R^T t (reference: WriteTrajectory, io_ecim.hpp:108-122)."""
+    import numpy as np
+    from xrsfm_tpu.base.map import SfMMap
+    from xrsfm_tpu.base.colmap_bridge import write_trajectory
+
+    rng = np.random.default_rng(7)
+    m = SfMMap()
+    m.add_camera(0, 1, [500.0, 500.0, 320.0, 240.0], 640, 480)
+    qs, ts = [], []
+    for i in range(3):
+        f = m.add_frame(f"im{i}.png", 0, np.zeros((1, 2)))
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        t = rng.normal(size=3)
+        m.q[f] = q
+        m.t[f] = t
+        m.registered[f] = True
+        qs.append(q)
+        ts.append(t)
+    path = str(tmp_path / "traj.txt")
+    write_trajectory(m, path, timestamps=[0.0, 1.0, 2.0])
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 3
+    for q, t, line in zip(qs, ts, lines):
+        vals = np.array([float(v) for v in line.split()])
+        c_file = vals[1:4]
+        q_file = np.array([vals[7], vals[4], vals[5], vals[6]])  # wxyz
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        np.testing.assert_allclose(c_file, -R.T @ t, atol=1e-9)
+        expect_q = q * np.array([1, -1, -1, -1])
+        if expect_q[0] * q_file[0] < 0:
+            expect_q = -expect_q
+        np.testing.assert_allclose(q_file, expect_q, atol=1e-9)

@@ -90,12 +90,20 @@ def colmap_to_map(model_dir: str) -> SfMMap:
 
 def write_trajectory(m: SfMMap, path: str, timestamps=None):
     """TUM trajectory of registered frames (reference: WriteTrajectory,
-    io_ecim.hpp:108-122)."""
-    import jax.numpy as jnp
-
-    qwc = np.asarray(G.quat_conj(jnp.asarray(m.q, jnp.float64)))
-    twc = np.asarray(
-        G.pose_center(jnp.asarray(m.q, jnp.float64), jnp.asarray(m.t, jnp.float64))
-    )
+    io_ecim.hpp:108-122).  Host-side numpy in float64 (the device only
+    has float32; trajectory files deserve full precision)."""
+    q = np.asarray(m.q, np.float64)  # (w, x, y, z) Tcw
+    t = np.asarray(m.t, np.float64)
+    qwc = q * np.array([1.0, -1.0, -1.0, -1.0])
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    twc = -np.einsum("fji,fj->fi", R, t)  # camera center = -R^T t
     stamps = timestamps if timestamps is not None else m.names
     IO.write_trajectory_tum(path, list(stamps), qwc, twc, m.registered)
