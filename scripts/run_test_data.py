@@ -38,6 +38,10 @@ def main():
     cli.main([
         "run_reconstruction", bin_dir, os.path.join(ws, "camera.txt"), out_dir
     ])
+    if not os.path.exists(os.path.join(out_dir, "images.bin")):
+        print("[run_test_data] reconstruction produced no model", flush=True)
+        sys.exit(1)
+
     if a.estimate_scale:
         cli.main([
             "estimate_scale", images, out_dir, "--tag_length", str(a.tag_length)

@@ -130,6 +130,14 @@ def main(out_dir, n_cams=8, n_pts=400, seed=3, w=512, h=384, f=450.0):
             fh.write(
                 f"{name} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]}\n"
             )
+    # retrieval ranks (needed by the retrieval/covisibility matching
+    # strategies): cameras sit on an arc, so view overlap is monotone in
+    # index distance — rank every other image by |i - j|
+    with open(os.path.join(out_dir, "retrieval.txt"), "w") as fh:
+        for i, name in enumerate(names):
+            for j in sorted(range(n_cams), key=lambda j: abs(i - j)):
+                if j != i:
+                    fh.write(f"{name} {names[j]}\n")
     print(f"wrote {n_cams} images to {out_dir}")
 
 

@@ -90,3 +90,36 @@ def test_retriangulate_repairs_corrupted_points():
     assert n_upd >= 15
     err = np.linalg.norm(m.track_xyz[victims] - before, axis=1)
     assert np.median(err) < 0.02, np.median(err)
+
+
+def test_initialize_narrow_baseline():
+    """Video-like motion: every pair's triangulation angles sit in the
+    low single digits, so the reference's 16/8-deg gates can never pass;
+    the relaxed angle ladder must still find an init pair
+    (mapper/initialize.py)."""
+    from xrsfm_tpu.mapper import initialize as I
+    from synthetic import look_at, rotmat_to_quat_np
+
+    rng = np.random.default_rng(5)
+    n_cams, n_pts = 4, 300
+    xyz = np.concatenate(
+        [rng.uniform(-2, 2, (n_pts, 2)), rng.uniform(4.5, 5.5, (n_pts, 1))],
+        axis=1,
+    )
+    qs, ts, uvs = [], [], []
+    for i in range(n_cams):
+        center = np.array([0.2 * i, 0.0, 0.0])  # ~2.3 deg adjacent at z~5
+        R = look_at(center, center + np.array([0.0, 0.0, 1.0]))
+        t = -R @ center
+        pc = xyz @ R.T + t
+        qs.append(rotmat_to_quat_np(R))
+        ts.append(t)
+        uvs.append(pc[:, :2] / pc[:, 2:3])
+    s = dict(
+        q=np.asarray(qs, np.float32), t=np.asarray(ts, np.float32),
+        xyz=xyz, uv=np.stack(uvs),
+    )
+    m = build_map_from_scene(s, noise_px=0.1, outlier_frac=0.02)
+    ok = I.find_and_initialize(m)
+    assert ok, "narrow-baseline initialization failed"
+    assert int(np.count_nonzero(m.registered)) == 2

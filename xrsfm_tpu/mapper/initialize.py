@@ -94,13 +94,25 @@ def find_and_initialize(m: SfMMap, opts: InitOptions = InitOptions(),
             if {m.pairs[i][0], m.pairs[i][1]} == {init_id1, init_id2}
         ]
         order = forced + [i for i in order if i not in forced]
-    # graceful degradation for small scenes: if no pair clears the point
-    # gate, retry with relaxed minimums (the reference's fixed >200-point
-    # gate assumes 8k-feature internet images, map_initializer.cc:13-139)
+    # graceful degradation: if no pair clears the gates, retry with
+    # relaxed minimums.  The reference's fixed gates (>200 points,
+    # 16/8 deg tri-angle, map_initializer.cc:13-139) assume 8k-feature
+    # wide-baseline internet images; small scenes need a lower point
+    # minimum, and video-like forward/arc motion (e.g. KITTI) has
+    # single-digit triangulation angles on EVERY pair, so the angle
+    # ladder extends downward rather than failing outright — BA and the
+    # track filters recover the weaker initial conditioning.
     attempts = [opts]
     for mp in (50, 30):
         if mp < opts.min_points:
             attempts.append(dataclasses.replace(opts, min_points=mp))
+    mp = min(opts.min_points, 30)
+    for good_deg, retry_deg in ((4.0, 2.0), (1.0, 0.5)):
+        if good_deg < opts.good_angle_deg:
+            attempts.append(dataclasses.replace(
+                opts, min_points=mp, good_angle_deg=good_deg,
+                retry_angle_deg=retry_deg,
+            ))
     for att in attempts:
         if _try_initialize(m, order, att):
             return True
