@@ -43,11 +43,11 @@ def main():
         if im.name not in gt:
             continue
         est_c.append(
-            np.asarray(G.pose_center(jnp.asarray(im.qvec), jnp.asarray(im.tvec)))
+            G.pose_center_np(im.qvec, im.tvec)
         )
         qg, tg = gt[im.name]
         gt_c.append(
-            np.asarray(G.pose_center(jnp.asarray(qg), jnp.asarray(tg)))
+            G.pose_center_np(qg, tg)
         )
         names.append(im.name)
     est_c = np.asarray(est_c)

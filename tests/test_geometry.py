@@ -113,3 +113,36 @@ def test_pose_retract_zero_is_identity():
     q2, t2 = G.pose_retract(q, t, jnp.zeros((4, 6)))
     np.testing.assert_allclose(np.abs(np.sum(q * q2, axis=-1)), 1.0, atol=1e-6)
     np.testing.assert_allclose(t2, t, atol=1e-6)
+
+
+def test_numpy_twins_match_jnp():
+    """Host-side numpy twins must agree with the jnp geometry exactly
+    (they replace per-call device math in the mapper's bookkeeping)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xrsfm_tpu.utils import geometry as G
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(5, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = rng.normal(size=(5, 3))
+    q2 = rng.normal(size=(5, 4))
+    q2 /= np.linalg.norm(q2, axis=1, keepdims=True)
+    t2 = rng.normal(size=(5, 3))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    np.testing.assert_allclose(
+        G.quat_to_rotmat_np(q), np.asarray(G.quat_to_rotmat(f32(q))),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        G.pose_center_np(q, t), np.asarray(G.pose_center(f32(q), f32(t))),
+        atol=1e-5,
+    )
+    qr_np, tr_np = G.pose_relative_np(q, t, q2, t2)
+    qr, tr = G.pose_relative(f32(q), f32(t), f32(q2), f32(t2))
+    np.testing.assert_allclose(qr_np, np.asarray(qr), atol=1e-5)
+    np.testing.assert_allclose(tr_np, np.asarray(tr), atol=1e-5)
+    qc_np, tc_np = G.pose_compose_np(q, t, q2, t2)
+    qc, tc = G.pose_compose(f32(q), f32(t), f32(q2), f32(t2))
+    np.testing.assert_allclose(qc_np, np.asarray(qc), atol=1e-5)
+    np.testing.assert_allclose(tc_np, np.asarray(tc), atol=1e-5)

@@ -118,10 +118,18 @@ class SfMMap:
         return len(self.names) - 1
 
     def _normalize(self, cam_id: int, kp: np.ndarray) -> np.ndarray:
+        # Host bookkeeping: run the (jnp) camera math on the CPU backend.
+        # Going through the accelerator here costs one tunnel round-trip
+        # per frame during map loading (and the axon tunnel sometimes
+        # stalls on IO-phase traffic) for math that is a few microseconds
+        # on host.
+        import jax
         import jax.numpy as jnp
 
-        params = jnp.asarray(self.cameras[cam_id], jnp.float32)
-        out = np.asarray(Cam.image_to_normalized(params, jnp.asarray(kp)))
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = jnp.asarray(self.cameras[cam_id], jnp.float32)
+            out = np.asarray(Cam.image_to_normalized(params, jnp.asarray(kp)))
         return out.astype(np.float32)
 
     def add_pair(self, id1: int, id2: int, inlier_matches: np.ndarray):

@@ -131,18 +131,21 @@ def build_problem(
         for f in gf[1:2]:
             fix_trans[fidx[f]] = True
 
+    # numpy leaves throughout: the solve_ba jit transfers them in one
+    # dispatch; eager per-array jnp.asarray costs a device round-trip
+    # each on the axon tunnel (dominated LBA wall time, ~275 ms/call)
     prob = BAProblem(
-        cam_q=jnp.asarray(cam_q),
-        cam_t=jnp.asarray(cam_t),
-        cam_intri=jnp.asarray(cam_intri),
-        points=jnp.asarray(points),
-        obs_uv=jnp.asarray(obs_uv),
-        obs_cam=jnp.asarray(obs_cam),
-        obs_pt=jnp.asarray(obs_pt),
-        obs_w=jnp.asarray(obs_w),
-        fix_cam=jnp.asarray(fix_cam),
-        fix_trans=jnp.asarray(fix_trans),
-        fix_pt=jnp.asarray(fix_pt),
+        cam_q=cam_q,
+        cam_t=cam_t,
+        cam_intri=cam_intri,
+        points=points,
+        obs_uv=obs_uv,
+        obs_cam=obs_cam,
+        obs_pt=obs_pt,
+        obs_w=obs_w,
+        fix_cam=fix_cam,
+        fix_trans=fix_trans,
+        fix_pt=fix_pt,
     )
     # camera-major packing: camera-side ELL gathers become reshapes
     prob, ell = pack_camera_major(prob, n_valid=n_obs)
@@ -165,19 +168,26 @@ def run_ba(
     if prob is None:
         return None
     sol, info = solve_ba(prob, opts, ell)
-    q = np.asarray(sol.cam_q, np.float64)
-    t = np.asarray(sol.cam_t, np.float64)
-    pts = np.asarray(sol.points, np.float64)
-    for i, f in enumerate(frames):
-        if not bool(prob.fix_cam[i]):
-            m.q[f] = q[i] / np.linalg.norm(q[i])
-            m.t[f] = t[i]
-    for i, tid in enumerate(tracks):
-        m.track_xyz[tid] = pts[i]
+    nf, nt = len(frames), len(tracks)
+    # one batched device fetch (each separate fetch is a tunnel round-trip)
+    import jax
+
+    q, t, pts, ini, fin, its = jax.device_get(
+        (sol.cam_q, sol.cam_t, sol.points, info["initial_cost"],
+         info["final_cost"], info["iters"])
+    )
+    q = np.asarray(q, np.float64)[:nf]
+    t = np.asarray(t, np.float64)[:nf]
+    pts = np.asarray(pts, np.float64)[:nt]
+    upd = ~np.asarray(prob.fix_cam)[:nf]
+    fr = np.asarray(frames)[upd]
+    m.q[fr] = q[upd] / np.linalg.norm(q[upd], axis=1, keepdims=True)
+    m.t[fr] = t[upd]
+    m.track_xyz[np.asarray(tracks)] = pts
     return BAGlueResult(
         frame_ids=np.asarray(frames),
         track_ids=np.asarray(tracks),
-        initial_cost=float(info["initial_cost"]),
-        final_cost=float(info["final_cost"]),
-        iters=int(info["iters"]),
+        initial_cost=float(ini),
+        final_cost=float(fin),
+        iters=int(its),
     )

@@ -77,11 +77,12 @@ def is_good_relative_pose(m: SfMMap, id1: int, id2: int, matches,
     uv2 = K.pad_rows(m.kps_norm[id2][matches[:, 1]], nb)
     mask = np.arange(nb) < n
     th = float(np.sin(np.deg2rad(opts.angle_band_deg))) ** 2
+    # numpy args: the jit transfers them in one dispatch (eager
+    # jnp.asarray costs one axon-tunnel round-trip per array)
     stats = np.asarray(_rel_pose_stats(
-        jnp.asarray(m.q[id1], jnp.float32), jnp.asarray(m.t[id1], jnp.float32),
-        jnp.asarray(m.q[id2], jnp.float32), jnp.asarray(m.t[id2], jnp.float32),
-        jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask),
-        jnp.float32(th),
+        m.q[id1].astype(np.float32), m.t[id1].astype(np.float32),
+        m.q[id2].astype(np.float32), m.t[id2].astype(np.float32),
+        uv1, uv2, mask, np.float32(th),
     ))
     if stats[2] < opts.pure_rotation_th:
         return True  # pure rotation: skip (reference behavior)
@@ -172,13 +173,13 @@ def try_locate(m: SfMMap, frame: int, bad_frames: List[int],
     mask = np.zeros(b, bool)
     mask[: len(p2ds)] = True
     focal = float(m.cameras[int(m.cam_of_frame[frame])][0])
-    q, t, inl, n_inl, ok = kernels.pnp_ransac(
+    q, t, inl, n_inl, ok = jax.device_get(kernels.pnp_ransac(
         jax.random.PRNGKey(frame + 777),
-        jnp.asarray(kernels.pad_rows(uv, b)),
-        jnp.asarray(kernels.pad_rows(xyz, b)),
-        jnp.asarray(mask),
+        kernels.pad_rows(uv, b),
+        kernels.pad_rows(xyz, b),
+        mask,
         (reg_opts.ransac_px / focal) ** 2,
-    )
+    ))
     if not bool(ok) or int(n_inl) < reg_opts.min_correspondences:
         return None
     return np.asarray(q, np.float64), np.asarray(t, np.float64), int(n_inl)
@@ -189,7 +190,7 @@ def _mean_depth(m: SfMMap, frame: int, q, t) -> float:
     if len(tids) == 0:
         return 1.0
     xyz = m.track_xyz[tids]
-    R = np.asarray(G.quat_to_rotmat(jnp.asarray(q, jnp.float32)))
+    R = G.quat_to_rotmat_np(q)
     z = (xyz @ R.T + t)[:, 2]
     z = z[z > 0]
     return float(np.mean(z)) if len(z) else 1.0
@@ -280,7 +281,7 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt,
         ref = next((f for f in obs if f in kf_set), None)
         if ref is None:
             continue
-        R = np.asarray(G.quat_to_rotmat(jnp.asarray(m.q[ref], jnp.float32)))
+        R = G.quat_to_rotmat_np(m.q[ref])
         z = float((R @ m.track_xyz[tid] + m.t[ref])[2])
         track_ref.append((int(tid), ref, z))
 
@@ -300,7 +301,7 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt,
             continue
         uv = m.kps_norm[ref][p2d]
         ray = np.array([uv[0], uv[1], 1.0]) * z * s_new[i]
-        Rr = np.asarray(G.quat_to_rotmat(jnp.asarray(m.q[ref], jnp.float32)))
+        Rr = G.quat_to_rotmat_np(m.q[ref])
         m.track_xyz[tid] = Rr.T @ (ray - m.t[ref])
     return True
 
@@ -321,14 +322,8 @@ def check_and_correct_pose(
     if alt is None:
         return False
     q_alt, t_alt, _ = alt
-    c_cur = np.asarray(
-        G.pose_center(jnp.asarray(m.q[frame], jnp.float32),
-                      jnp.asarray(m.t[frame], jnp.float32))
-    )
-    c_alt = np.asarray(
-        G.pose_center(jnp.asarray(q_alt, jnp.float32),
-                      jnp.asarray(t_alt, jnp.float32))
-    )
+    c_cur = G.pose_center_np(m.q[frame], m.t[frame])
+    c_alt = G.pose_center_np(q_alt, t_alt)
     if np.linalg.norm(c_cur - c_alt) <= opts.hypothesis_dist_th:
         return False
     corrected = correct_loop(m, frame, q_alt, t_alt, opts)

@@ -50,30 +50,29 @@ def check_init_pair(m: SfMMap, id1: int, id2: int, matches, opts: InitOptions):
     focal = float(m.cameras[int(m.cam_of_frame[id1])][0])
     th = (opts.ransac_px / focal) ** 2
     key = jax.random.PRNGKey((id1 * 32768 + id2) & 0x7FFFFFFF)
+    # numpy args (jit transfers in one dispatch); E/inl stay device-side
+    # between the two kernels; results come back in one device_get
     E, inl, n_inl, success = kernels.essential_ransac(
-        key, jnp.asarray(uv1p), jnp.asarray(uv2p), jnp.asarray(mask), th
+        key, uv1p, uv2p, mask, th
+    )
+    q_d, t_d, n_good_d, X_d, good_d, ang_d = kernels.init_pair_stats(
+        E, jnp.asarray(uv1p), jnp.asarray(uv2p), inl
+    )
+    q, t, n_good, X, good, ang, n_inl, success = jax.device_get(
+        (q_d, t_d, n_good_d, X_d, good_d, ang_d, n_inl, success)
     )
     if not bool(success):
         return False, None, None, None, None
-    q, t, n_good, X, good, ang = kernels.init_pair_stats(
-        E, jnp.asarray(uv1p), jnp.asarray(uv2p), inl
-    )
-    good = np.asarray(good)[:n]
-    ang = np.asarray(ang)[:n]
+    good = good[:n]
+    ang = ang[:n]
     n_inl_i = int(n_inl)
     if n_inl_i == 0 or int(n_good) < opts.min_tri_ratio * n_inl_i:
         return False, None, None, None, None
     for ang_th in (opts.good_angle_deg, opts.retry_angle_deg):
         n_wide = int(np.count_nonzero(good & (ang > np.deg2rad(ang_th))))
         if n_wide >= opts.min_tri_ratio * int(n_good) and int(n_good) >= opts.min_points:
-            accept = good & (np.asarray(
-                kernels.reproj_errors_batch(
-                    jnp.broadcast_to(q, (len(X), 4)),
-                    jnp.broadcast_to(t, (len(X), 3)),
-                    jnp.asarray(uv1p), X,
-                )[0]
-            )[:n] < np.inf)
-            return True, np.asarray(q), np.asarray(t), np.asarray(X)[:n], accept
+            accept = good & np.isfinite(X[:n]).all(axis=1)
+            return True, q, t, X[:n], accept
     return False, None, None, None, None
 
 

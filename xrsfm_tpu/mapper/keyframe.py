@@ -87,13 +87,10 @@ def keyframe_selection(m: SfMMap) -> int:
 
 
 def _store_rel_pose(m: SfMMap, f: int, ref: int):
-    qf = jnp.asarray(m.q[f])
-    tf = jnp.asarray(m.t[f])
-    qr = jnp.asarray(m.q[ref])
-    tr = jnp.asarray(m.t[ref])
-    q_rel, t_rel = G.pose_relative(qf, tf, qr, tr)  # T_f * T_ref^-1
-    m.ref_rel_q[f] = np.asarray(q_rel)
-    m.ref_rel_t[f] = np.asarray(t_rel)
+    # host numpy: a device call here costs a tunnel round-trip per frame
+    q_rel, t_rel = G.pose_relative_np(m.q[f], m.t[f], m.q[ref], m.t[ref])
+    m.ref_rel_q[f] = q_rel
+    m.ref_rel_t[f] = t_rel
 
 
 def update_by_ref_frame(m: SfMMap):
@@ -104,14 +101,11 @@ def update_by_ref_frame(m: SfMMap):
         if not m.registered[f] or m.is_keyframe[f] or m.ref_frame[f] < 0:
             continue
         ref = int(m.ref_frame[f])
-        q, t = G.pose_compose(
-            jnp.asarray(m.ref_rel_q[f]),
-            jnp.asarray(m.ref_rel_t[f]),
-            jnp.asarray(m.q[ref]),
-            jnp.asarray(m.t[ref]),
+        q, t = G.pose_compose_np(
+            m.ref_rel_q[f], m.ref_rel_t[f], m.q[ref], m.t[ref]
         )
-        m.q[f] = np.asarray(q)
-        m.t[f] = np.asarray(t)
+        m.q[f] = q
+        m.t[f] = t
 
 
 def kgba(

@@ -43,14 +43,13 @@ def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOption
     focal = float(m.cameras[int(m.cam_of_frame[frame])][0])
     th = (opts.ransac_px / focal) ** 2
     key = jax.random.PRNGKey(((frame + seed_salt * 65537) * 2654435761) & 0x7FFFFFFF)
-    q, t, inl, n_inl, success = kernels.pnp_ransac(
-        key,
-        jnp.asarray(uvp),
-        jnp.asarray(xyzp),
-        jnp.asarray(mask),
-        th,
-        num_hypotheses=opts.num_hypotheses,
+    # numpy args (the jit transfers them in one dispatch) + one batched
+    # result fetch: each eager jnp.asarray / per-array host read is a
+    # full round-trip on the axon tunnel (~13 ms)
+    out = kernels.pnp_ransac(
+        key, uvp, xyzp, mask, th, num_hypotheses=opts.num_hypotheses
     )
+    q, t, inl, n_inl, success = jax.device_get(out)
     n_inl = int(n_inl)
     if not bool(success) or n_inl < max(
         opts.min_correspondences, int(opts.min_inlier_ratio * n)

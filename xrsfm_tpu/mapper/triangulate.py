@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List
 
-import jax.numpy as jnp
+import jax
 import numpy as np
 
 from . import kernels
@@ -106,11 +106,9 @@ def _apply_extensions(m: SfMMap, frame: int, p2ds, tids, th) -> int:
     t = np.broadcast_to(m.t[frame].astype(np.float32), (b, 3))
     uv = kernels.pad_rows(m.kps_norm[frame][np.asarray(p2ds)], b)
     xyz = kernels.pad_rows(m.track_xyz[np.asarray(tids)].astype(np.float32), b)
-    err, z = kernels.reproj_errors_batch(
-        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv), jnp.asarray(xyz)
-    )
-    err = np.asarray(err)[:n]
-    z = np.asarray(z)[:n]
+    err, z = jax.device_get(kernels.reproj_errors_batch(q, t, uv, xyz))
+    err = err[:n]
+    z = z[:n]
     ok = (err < th) & (z > 0)
     cnt = 0
     for k in np.nonzero(ok)[0]:
@@ -139,14 +137,9 @@ def _apply_creations(m: SfMMap, obs_sets, th, min_angle, max_views) -> int:
             t[i, j] = m.t[f]
             uv[i, j] = m.kps_norm[f][p]
             mask[i, j] = True
-    xyz, obs_ok, ok, ang = kernels.robust_triangulate(
-        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv), jnp.asarray(mask),
-        th, min_angle,
+    xyz, obs_ok, ok, ang = jax.device_get(
+        kernels.robust_triangulate(q, t, uv, mask, th, min_angle)
     )
-    xyz = np.asarray(xyz)
-    obs_ok = np.asarray(obs_ok)
-    ok = np.asarray(ok)
-    ang = np.asarray(ang)
     n_new = 0
     for i, obs in enumerate(obs_sets):
         if not ok[i]:
@@ -202,11 +195,9 @@ def filter_tracks(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions()):
         uv_rows[order[s:e]] = m.kps_norm[int(rf_s[s])][rp_s[s:e]]
     uv = kernels.pad_rows(uv_rows, b)
     xyz = kernels.pad_rows(m.track_xyz[rows[:, 0]].astype(np.float32), b)
-    err, z = kernels.reproj_errors_batch(
-        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv), jnp.asarray(xyz)
-    )
-    err = np.asarray(err)[:n]
-    z = np.asarray(z)[:n]
+    err, z = jax.device_get(kernels.reproj_errors_batch(q, t, uv, xyz))
+    err = err[:n]
+    z = z[:n]
     per_frame_focal = np.array([_focal(m, int(f)) for f in rows[:, 1]])
     th = (opts.filter_px / per_frame_focal) ** 2
     bad = (err > th) | (z < opts.min_depth) | (z > opts.max_depth)
@@ -254,13 +245,10 @@ def retriangulate(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions(),
             msk[i, j] = True
     focal = _focal(m, int(m.obs_frame[0]) if m.num_obs_slots else 0)
     th = (opts.tri_px / focal) ** 2
-    xyz, obs_ok, ok, ang = kernels.robust_triangulate(
-        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv), jnp.asarray(msk),
-        th, np.deg2rad(opts.min_angle_deg),
+    xyz, obs_ok, ok, ang = jax.device_get(
+        kernels.robust_triangulate(q, t, uv, msk, th,
+                                   np.deg2rad(opts.min_angle_deg))
     )
-    xyz = np.asarray(xyz)
-    ok = np.asarray(ok)
-    ang = np.asarray(ang)
     updated = 0
     for i, tid in enumerate(track_ids):
         if ok[i]:
@@ -317,12 +305,12 @@ def merge_frame_tracks(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
             uv[k, j] = m.kps_norm[f][p]
             xyzs[k, j] = xyz
             msk[k, j] = True
-    err, z = kernels.reproj_errors_batch(
-        jnp.asarray(q.reshape(-1, 4)), jnp.asarray(t.reshape(-1, 3)),
-        jnp.asarray(uv.reshape(-1, 2)), jnp.asarray(xyzs.reshape(-1, 3)),
-    )
-    err = np.asarray(err).reshape(B, V)
-    z = np.asarray(z).reshape(B, V)
+    err, z = jax.device_get(kernels.reproj_errors_batch(
+        q.reshape(-1, 4), t.reshape(-1, 3),
+        uv.reshape(-1, 2), xyzs.reshape(-1, 3),
+    ))
+    err = err.reshape(B, V)
+    z = z.reshape(B, V)
     focal = _focal(m, frame)
     th = (opts.tri_px / focal) ** 2
     ok = np.all(np.where(msk, (err < th) & (z > 0), True), axis=1)

@@ -124,11 +124,10 @@ def _build_rows(ids, other_ids, n_seg, O_full, max_width, bucket_lo):
     other_pad = np.concatenate(
         [other_ids.astype(np.int32), np.zeros(1, np.int32)]
     )
-    return RowIndex(
-        slots=jnp.asarray(slots),
-        seg=jnp.asarray(seg),
-        other=jnp.asarray(other_pad[slots]),
-    )
+    # numpy leaves: eager jnp.asarray costs one device round-trip PER
+    # ARRAY on the axon tunnel (~13 ms each, measured); jit transfers
+    # numpy args in one dispatch instead.
+    return RowIndex(slots=slots, seg=seg, other=other_pad[slots])
 
 
 def build_ell(obs_cam, obs_pt, n_cams: int, n_pts: int, n_valid=None,
@@ -196,7 +195,7 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
         a = np.asarray(a)
         out = np.full((O2,) + a.shape[1:], fill, a.dtype)
         out[real] = a[flat[real]]
-        return jnp.asarray(out)
+        return out  # numpy: transferred by the consuming jit in one dispatch
 
     new_cam = np.repeat(seg, Mc).astype(np.int32)
     new_pt = np.zeros(O2, np.int32)
@@ -204,14 +203,14 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
     p2 = dataclasses.replace(
         p,
         obs_uv=take(p.obs_uv),
-        obs_cam=jnp.asarray(new_cam),
-        obs_pt=jnp.asarray(new_pt),
+        obs_cam=new_cam,
+        obs_pt=new_pt,
         obs_w=take(p.obs_w),  # physical padding gets weight 0
     )
     cam_ri = RowIndex(
-        slots=jnp.asarray(np.arange(O2, dtype=np.int32).reshape(Rc, Mc)),
-        seg=jnp.asarray(seg),
-        other=jnp.asarray(new_pt.reshape(Rc, Mc)),
+        slots=np.arange(O2, dtype=np.int32).reshape(Rc, Mc),
+        seg=seg,
+        other=new_pt.reshape(Rc, Mc),
         contig=True,
     )
     # point-side rows over the REAL slots of the packed table
@@ -229,11 +228,7 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
     else:
         pt_slots = np.full_like(cslots, O2)
     other = np.concatenate([new_cam, np.zeros(1, np.int32)])[pt_slots]
-    pt_ri = RowIndex(
-        slots=jnp.asarray(pt_slots),
-        seg=compact.seg,
-        other=jnp.asarray(other),
-    )
+    pt_ri = RowIndex(slots=pt_slots, seg=compact.seg, other=other)
     return p2, EllIndex(cam=cam_ri, pt=pt_ri)
 
 

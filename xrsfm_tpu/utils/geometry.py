@@ -72,6 +72,76 @@ def quat_to_rotmat(q: jax.Array) -> jax.Array:
     return m.reshape(m.shape[:-1] + (3, 3))
 
 
+def quat_to_rotmat_np(q) -> "np.ndarray":
+    """Numpy twin of quat_to_rotmat for host bookkeeping — calling the
+    jnp version on host data places a device computation (a tunnel
+    round-trip per call on the axon platform)."""
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = np.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def pose_center_np(q, t) -> "np.ndarray":
+    """Numpy twin of pose_center (-R^T t) for host bookkeeping."""
+    import numpy as np
+
+    R = quat_to_rotmat_np(q)
+    t = np.asarray(t, np.float64)
+    return -np.einsum("...ji,...j->...i", R, t)
+
+
+def quat_mul_np(a, b) -> "np.ndarray":
+    """Numpy twin of quat_mul for host bookkeeping."""
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    aw, ax, ay, az = np.moveaxis(a, -1, 0)
+    bw, bx, by, bz = np.moveaxis(b, -1, 0)
+    return np.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def pose_compose_np(qa, ta, qb, tb):
+    """Numpy twin of pose_compose (Ta*Tb)."""
+    import numpy as np
+
+    Ra = quat_to_rotmat_np(qa)
+    ta = np.asarray(ta, np.float64)
+    tb = np.asarray(tb, np.float64)
+    return quat_mul_np(qa, qb), np.einsum("...ij,...j->...i", Ra, tb) + ta
+
+
+def pose_relative_np(q1, t1, q2, t2):
+    """Numpy twin of pose_relative (T1 * T2^-1)."""
+    import numpy as np
+
+    qi = np.asarray(q2, np.float64) * np.array([1.0, -1.0, -1.0, -1.0])
+    Ri = quat_to_rotmat_np(qi)
+    ti = -np.einsum("...ij,...j->...i", Ri, np.asarray(t2, np.float64))
+    return pose_compose_np(q1, t1, qi, ti)
+
+
 def rotmat_to_quat(R: jax.Array) -> jax.Array:
     """Rotation matrix [..., 3, 3] -> unit quaternion [..., 4] (w>=0).
 
