@@ -146,13 +146,11 @@ def match_and_verify_pairs(
         grp = list(pair_ids[s : s + B])
         pad = B - len(grp)
         idx = np.asarray(grp + [grp[-1]] * pad, np.int32)  # keep B static
-        matches, cnts, dists = dmatch.match_descriptors_batch(
+        m_np, c_np, d_np = jax.device_get(dmatch.match_descriptors_batch(
             descs_d[idx[:, 0]], descs_d[idx[:, 1]],
             masks_d[idx[:, 0]], masks_d[idx[:, 1]],
             opts.dist_th, opts.ratio_th, mm,
-        )
-        m_np, c_np, d_np = (np.asarray(matches), np.asarray(cnts),
-                            np.asarray(dists))
+        ))
         for k, (i, j) in enumerate(grp):
             n_m = int(c_np[k])
             if n_m < max(8, opts.min_inliers):
@@ -190,14 +188,11 @@ def match_and_verify_pairs(
                 keys[g] = np.asarray(
                     jax.random.PRNGKey((i * 32768 + j) & 0x7FFFFFFF)
                 )
-            F_b, inl_b, n_inl_b, ok_b = _fundamental_ransac_batch(
-                jnp.asarray(keys), jnp.asarray(x1), jnp.asarray(x2),
-                jnp.asarray(vm), th,
+            # numpy args + one batched fetch (each eager transfer is a
+            # tunnel round-trip)
+            F_b, inl_b, n_inl_b, ok_b = jax.device_get(
+                _fundamental_ransac_batch(keys, x1, x2, vm, th)
             )
-            F_b = np.asarray(F_b)
-            inl_b = np.asarray(inl_b)
-            n_inl_b = np.asarray(n_inl_b)
-            ok_b = np.asarray(ok_b)
             for g, k in enumerate(grp):
                 i, j, mnp, d = cand[k]
                 n_m = len(mnp)
