@@ -111,15 +111,30 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         lam2 = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
         return out, lam2, jnp.where(accept, c2, cost)
 
+    # The full LM loop runs inside ONE jit via lax.scan, exactly like the
+    # production solver (optim/ba.solve_ba runs its loop in-jit too) —
+    # per-step Python dispatch would otherwise dominate on the tunneled
+    # axon platform, whose round-trip latency grows over long sessions.
+    @jax.jit
+    def lm_run(p, lam):
+        def body(carry, _):
+            p_, lam_, _ = carry
+            p2, lam2, cost = lm_step(p_, lam_)
+            return (p2, lam2, cost), None
+
+        (p2, lam2, cost), _ = jax.lax.scan(
+            body, (p, lam, jnp.float32(0.0)), None, length=iters
+        )
+        return p2, lam2, cost
+
     # NOTE: on the axon TPU platform jax.block_until_ready does NOT block;
     # a scalar host fetch is the only reliable barrier, so timing brackets
     # use float(cost).
     lam = jnp.float32(1e-4)
-    p, lam, cost = lm_step(prob, lam)  # compile
+    p, lam2, cost = lm_run(prob, lam)  # compile
     float(cost)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        p, lam, cost = lm_step(p, lam)
+    p, lam2, cost = lm_run(prob, lam)
     final_cost = float(cost)  # host fetch = sync barrier
     dt = time.perf_counter() - t0
     return iters / dt, len(obs_cam), final_cost
