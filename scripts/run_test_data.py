@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--matching", default="sequential",
                     choices=["sequential", "retrieval", "covisibility"])
     ap.add_argument("--estimate_scale", action="store_true")
+    ap.add_argument("--correct_pose", action="store_true")
     ap.add_argument("--tag_length", type=float, default=0.113)
     a = ap.parse_args()
 
@@ -35,9 +36,12 @@ def main():
     out_dir = os.path.join(ws, "model")
 
     cli.main(["run_matching", images, retrieval, a.matching, bin_dir])
-    cli.main([
+    rec_args = [
         "run_reconstruction", bin_dir, os.path.join(ws, "camera.txt"), out_dir
-    ])
+    ]
+    if a.correct_pose:
+        rec_args.append("--correct_pose")
+    cli.main(rec_args)
     if not os.path.exists(os.path.join(out_dir, "images.bin")):
         print("[run_test_data] reconstruction produced no model", flush=True)
         sys.exit(1)

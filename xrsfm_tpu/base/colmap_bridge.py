@@ -76,15 +76,15 @@ def colmap_to_map(model_dir: str) -> SfMMap:
         m.q[f] = im.qvec
         m.t[f] = im.tvec
         m.registered[f] = True
-    # build tracks
+    # build tracks (add_observation also maintains the flat COO
+    # observation table that the BA glue consumes)
     for pid in sorted(pts):
         p = pts[pid]
         tid = m.new_track(p.xyz)
         m.track_error[tid] = p.error
         for iid, p2d in zip(p.image_ids, p.point2D_idxs):
-            f = id_map[int(iid)]
-            m.track_obs[tid][f] = int(p2d)
-            m.track_of[f][int(p2d)] = tid
+            m.add_observation(tid, id_map[int(iid)], int(p2d))
+    m.rebuild_visibility_counters()
     return m
 
 

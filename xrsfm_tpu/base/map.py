@@ -223,6 +223,14 @@ class SfMMap:
         self.obs_p2d[s] = p2d
         self._obs_slot[(tid, frame)] = s
 
+    _EMPTY_CORR = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+
+    def _corrs(self, frame: int, p2d: int):
+        """Correspondences of (frame, p2d); empty when the corr graph is
+        absent (e.g. a map loaded from COLMAP bins without matches)."""
+        c = self.corr[frame]
+        return self._EMPTY_CORR if c is None else c.of(p2d)
+
     def add_observation(self, tid: int, frame: int, p2d: int):
         """Attach (frame, p2d) to track tid and update visibility counters."""
         old = self.track_of[frame][p2d]
@@ -233,7 +241,7 @@ class SfMMap:
         self.track_obs[tid][frame] = p2d
         self.track_of[frame][p2d] = tid
         self._obs_append(tid, frame, p2d)
-        of, op = self.corr[frame].of(p2d)
+        of, op = self._corrs(frame, p2d)
         for f2, pp in zip(of, op):
             self.p3d_corr_cnt[f2][pp] += 1
 
@@ -245,7 +253,7 @@ class SfMMap:
         slot = self._obs_slot.pop((tid, frame), None)
         if slot is not None:
             self.obs_track[slot] = -1  # tombstone
-        of, op = self.corr[frame].of(p2d)
+        of, op = self._corrs(frame, p2d)
         for f2, pp in zip(of, op):
             self.p3d_corr_cnt[f2][pp] -= 1
         if len(self.track_obs[tid]) < 2 and self.track_valid[tid]:
@@ -262,7 +270,7 @@ class SfMMap:
             slot = self._obs_slot.pop((tid, frame), None)
             if slot is not None:
                 self.obs_track[slot] = -1
-            of, op = self.corr[frame].of(p2d)
+            of, op = self._corrs(frame, p2d)
             for f2, pp in zip(of, op):
                 self.p3d_corr_cnt[f2][pp] -= 1
 
@@ -279,7 +287,7 @@ class SfMMap:
             if not self.track_valid[tid]:
                 continue
             for f, p2d in self.track_obs[tid].items():
-                of, op = self.corr[f].of(p2d)
+                of, op = self._corrs(f, p2d)
                 for f2, pp in zip(of, op):
                     self.p3d_corr_cnt[f2][pp] += 1
 

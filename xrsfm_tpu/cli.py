@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("output_dir", nargs="?")
     p.add_argument("--init_id1", type=int, default=-1)
     p.add_argument("--init_id2", type=int, default=-1)
+    p.add_argument("--correct_pose", action="store_true",
+                   help="enable drift/loop error correction "
+                        "(reference hardcodes this off here and on for "
+                        "rec_kitti; exposed as a flag)")
 
     p = add("run_triangulation", "triangulate with known poses")
     p.add_argument("bin_dir", nargs="?")
@@ -102,7 +106,8 @@ def _dispatch(args):
         from .pipelines import run_reconstruction as R
 
         R.main(args.bin_dir, args.camera_txt, args.output_dir,
-               args.init_id1, args.init_id2)
+               args.init_id1, args.init_id2,
+               correct_pose=args.correct_pose)
     elif args.cmd == "run_triangulation":
         from .pipelines import run_triangulation as T
 

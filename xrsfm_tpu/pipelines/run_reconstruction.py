@@ -63,12 +63,14 @@ def main(
     init_id1: int = -1,
     init_id2: int = -1,
     opts: Optional[MapperOptions] = None,
+    correct_pose: bool = False,
 ):
     t0 = time.time()
     m = build_map(bin_dir, camera_txt)
     opts = opts or MapperOptions()
     opts.init_id1 = init_id1
     opts.init_id2 = init_id2
+    opts.correct_pose = opts.correct_pose or correct_pose
     mapper = IncrementalMapper(opts)
     ok = mapper.reconstruct(m)
     if not ok:

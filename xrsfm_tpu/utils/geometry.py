@@ -142,6 +142,32 @@ def pose_relative_np(q1, t1, q2, t2):
     return pose_compose_np(q1, t1, qi, ti)
 
 
+def rotmat_to_quat_np(R) -> "np.ndarray":
+    """Numpy twin of rotmat_to_quat (branch-free Shepperd) for host
+    bookkeeping — e.g. dataset generation, which should not touch the
+    device at all."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw = np.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = np.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
+    qy = np.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], axis=-1)
+    qz = np.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], axis=-1)
+    scores = np.stack(
+        [1 + tr, 1 + m00 - m11 - m22, 1 - m00 + m11 - m22, 1 - m00 - m11 + m22],
+        axis=-1,
+    )
+    idx = np.argmax(scores, axis=-1)
+    cand = np.stack([qw, qx, qy, qz], axis=-2)
+    q = np.take_along_axis(cand, idx[..., None, None], axis=-2)[..., 0, :]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return q * np.where(q[..., :1] < 0, -1.0, 1.0)
+
+
 def rotmat_to_quat(R: jax.Array) -> jax.Array:
     """Rotation matrix [..., 3, 3] -> unit quaternion [..., 4] (w>=0).
 
