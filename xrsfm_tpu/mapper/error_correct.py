@@ -65,28 +65,58 @@ def _rel_pose_stats(q1, t1, q2, t2, uv1, uv2, mask, th):
     ])
 
 
+_rel_pose_stats_batch = jax.jit(
+    jax.vmap(_rel_pose_stats, in_axes=(0, 0, 0, 0, 0, 0, 0, None))
+)
+
+
+def _pair_stats_many(m: SfMMap, pair_list, opts: ErrorCorrectOptions):
+    """Relative-pose consistency stats for many (id1, id2, matches)
+    tuples in ONE device dispatch + ONE fetch.  The per-pair version cost
+    a full axon-tunnel round-trip (~13 ms) per matched neighbor, which
+    dominated registration wall time (~10 neighbors/frame).
+
+    Returns [P, 3] numpy (good, total, baseline)."""
+    from . import kernels as K
+
+    P = len(pair_list)
+    nb = max(K.bucket(max(len(mt) for _, _, mt in pair_list)), 64)
+    pb = K.bucket(P, lo=4)
+    q1 = np.zeros((pb, 4), np.float32)
+    q1[:, 0] = 1.0
+    q2 = q1.copy()
+    t1 = np.zeros((pb, 3), np.float32)
+    t2 = t1.copy()
+    uv1 = np.zeros((pb, nb, 2), np.float32)
+    uv2 = np.zeros((pb, nb, 2), np.float32)
+    mask = np.zeros((pb, nb), bool)
+    for i, (id1, id2, mt) in enumerate(pair_list):
+        n = len(mt)
+        q1[i], t1[i] = m.q[id1], m.t[id1]
+        q2[i], t2[i] = m.q[id2], m.t[id2]
+        uv1[i, :n] = m.kps_norm[id1][mt[:, 0]]
+        uv2[i, :n] = m.kps_norm[id2][mt[:, 1]]
+        mask[i, :n] = True
+    th = np.float32(float(np.sin(np.deg2rad(opts.angle_band_deg))) ** 2)
+    stats = np.asarray(
+        _rel_pose_stats_batch(q1, t1, q2, t2, uv1, uv2, mask, th)
+    )
+    return stats[:P]
+
+
+def _good_from_stats(stats_row, opts: ErrorCorrectOptions) -> bool:
+    good, total, baseline = stats_row
+    if baseline < opts.pure_rotation_th:
+        return True  # pure rotation: skip (reference behavior)
+    return bool(good >= opts.min_good_ratio * max(total, 1.0))
+
+
 def is_good_relative_pose(m: SfMMap, id1: int, id2: int, matches,
                           opts: ErrorCorrectOptions) -> bool:
     """Matches consistent with the current relative pose?
     (reference: IsGoodRelativePose, error_detector.cc:5-101)."""
-    from . import kernels as K
-
-    n = len(matches)
-    nb = K.bucket(n)
-    uv1 = K.pad_rows(m.kps_norm[id1][matches[:, 0]], nb)
-    uv2 = K.pad_rows(m.kps_norm[id2][matches[:, 1]], nb)
-    mask = np.arange(nb) < n
-    th = float(np.sin(np.deg2rad(opts.angle_band_deg))) ** 2
-    # numpy args: the jit transfers them in one dispatch (eager
-    # jnp.asarray costs one axon-tunnel round-trip per array)
-    stats = np.asarray(_rel_pose_stats(
-        m.q[id1].astype(np.float32), m.t[id1].astype(np.float32),
-        m.q[id2].astype(np.float32), m.t[id2].astype(np.float32),
-        uv1, uv2, mask, np.float32(th),
-    ))
-    if stats[2] < opts.pure_rotation_th:
-        return True  # pure rotation: skip (reference behavior)
-    return bool(stats[0] >= opts.min_good_ratio * max(stats[1], 1.0))
+    stats = _pair_stats_many(m, [(id1, id2, matches)], opts)
+    return _good_from_stats(stats[0], opts)
 
 
 def check_all_relative_pose(m: SfMMap, frame: int,
@@ -98,7 +128,7 @@ def check_all_relative_pose(m: SfMMap, frame: int,
     engage_all=True checks every registered pair (used as a
     post-registration sanity gate); otherwise only weakly covisible pairs
     are checked, as in the reference."""
-    bad = []
+    todo = []
     for pid in m.frame_pairs_of[frame]:
         id1, id2, matches = m.pairs[pid]
         other = id2 if id1 == frame else id1
@@ -113,9 +143,14 @@ def check_all_relative_pose(m: SfMMap, frame: int,
             shared = sum(1 for t in tids if other in m.track_obs[int(t)])
             if shared >= opts.min_covis_engage:
                 continue
-        if not is_good_relative_pose(m, id1, id2, matches, opts):
-            bad.append(other)
-    return bad
+        todo.append((id1, id2, matches, other))
+    if not todo:
+        return []
+    stats = _pair_stats_many(m, [(a, b, mt) for a, b, mt, _ in todo], opts)
+    return [
+        other for (_, _, _, other), s in zip(todo, stats)
+        if not _good_from_stats(s, opts)
+    ]
 
 
 def registration_is_consistent(m: SfMMap, frame: int,
@@ -127,19 +162,18 @@ def registration_is_consistent(m: SfMMap, frame: int,
     P3P can return a mirrored pose whose reprojections fit but whose
     relative geometry to every neighbor is wrong."""
     opts = opts or ErrorCorrectOptions()
-    n_checked = 0
-    n_bad = 0
+    todo = []
     for pid in m.frame_pairs_of[frame]:
         id1, id2, matches = m.pairs[pid]
         other = id2 if id1 == frame else id1
         if not m.registered[other] or other == frame or len(matches) < 8:
             continue
-        n_checked += 1
-        if not is_good_relative_pose(m, id1, id2, matches, opts):
-            n_bad += 1
-    if n_checked == 0:
+        todo.append((id1, id2, matches))
+    if not todo:
         return True
-    return n_bad <= 0.5 * n_checked
+    stats = _pair_stats_many(m, todo, opts)
+    n_bad = sum(1 for s in stats if not _good_from_stats(s, opts))
+    return n_bad <= 0.5 * len(todo)
 
 
 def try_locate(m: SfMMap, frame: int, bad_frames: List[int],
