@@ -52,7 +52,10 @@ class MapperStats:
     registered: int = 0
     failed: int = 0
     tracks: int = 0
+    time_init: float = 0.0
+    time_select: float = 0.0
     time_register: float = 0.0
+    time_consistency: float = 0.0
     time_triangulate: float = 0.0
     time_filter: float = 0.0
     time_check: float = 0.0
@@ -89,10 +92,13 @@ class IncrementalMapper:
             [m.init_id1, m.init_id2],
             BAOptions(max_iters=o.gba_iters, huber_px=4.0),
         )
+        self.stats.time_init = time.time() - t_start
 
         num_reg_at_gba = 2
         while True:
+            t0 = time.time()
             nxt = m.next_frame_to_register(o.min_visible)
+            self.stats.time_select += time.time() - t0
             if nxt < 0:
                 break
             t0 = time.time()
@@ -109,7 +115,10 @@ class IncrementalMapper:
                 continue
             from . import error_correct as EC
 
-            if not EC.registration_is_consistent(m, nxt):
+            t0 = time.time()
+            consistent = EC.registration_is_consistent(m, nxt)
+            self.stats.time_consistency += time.time() - t0
+            if not consistent:
                 # planar-PnP ambiguity / bad registration: undo; retry once
                 # later (more tracks may disambiguate), then fail for good
                 m.deregister_frame(nxt)
@@ -204,15 +213,23 @@ class IncrementalMapper:
                 self._log(f"final polish: {n_rt} tracks retriangulated")
         self.stats.tracks = int(np.count_nonzero(m.track_valid))
         self.stats.time_total = time.time() - t_start
+        s = self.stats
+        tracked = (
+            s.time_init + s.time_select + s.time_register
+            + s.time_consistency + s.time_triangulate + s.time_filter
+            + s.time_check + s.time_merge + s.time_lba + s.time_gba
+        )
         self._log(
-            f"done: {self.stats.registered + 2} registered, "
-            f"{self.stats.tracks} tracks, {self.stats.time_total:.1f}s "
-            f"(reg {self.stats.time_register:.1f} "
-            f"tri {self.stats.time_triangulate:.1f} "
-            f"fil {self.stats.time_filter:.1f} "
-            f"mrg {self.stats.time_merge:.1f} "
-            f"lba {self.stats.time_lba:.1f} "
-            f"gba {self.stats.time_gba:.1f})"
+            f"done: {s.registered + 2} registered, "
+            f"{s.tracks} tracks, {s.time_total:.1f}s "
+            f"(init {s.time_init:.1f} sel {s.time_select:.1f} "
+            f"reg {s.time_register:.1f} con {s.time_consistency:.1f} "
+            f"tri {s.time_triangulate:.1f} "
+            f"fil {s.time_filter:.1f} "
+            f"mrg {s.time_merge:.1f} chk {s.time_check:.1f} "
+            f"lba {s.time_lba:.1f} "
+            f"gba {s.time_gba:.1f} "
+            f"other {s.time_total - tracked:.1f})"
         )
         return True
 

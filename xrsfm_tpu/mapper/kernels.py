@@ -216,6 +216,25 @@ def essential_ransac(
     return res.model, res.inliers, res.num_inliers, res.success
 
 
+def _init_probe_one(key, uv1, uv2, mask, threshold):
+    """essential_ransac + init_pair_stats fused: one traced program, so a
+    batch of candidate pairs probes in ONE dispatch (find_and_initialize
+    previously paid 2 dispatches + 2 eager transfers + 1 fetch per
+    candidate per gate-relaxation attempt)."""
+    E, inl, n_inl, success = essential_ransac(key, uv1, uv2, mask, threshold)
+    q, t, n_good, X, good, ang = init_pair_stats(E, uv1, uv2, inl)
+    return q, t, n_good, X, good, ang, n_inl, success
+
+
+@jax.jit
+def init_probe_batch(keys, uv1, uv2, mask, threshold):
+    """Vmapped candidate probe.  keys [K,2] uint32, uv1/uv2 [K,B,2],
+    mask [K,B], threshold [K].  Returns per-candidate
+    (q [K,4], t [K,3], n_good [K], X [K,B,3], good [K,B], ang [K,B],
+    n_inl [K], success [K])."""
+    return jax.vmap(_init_probe_one)(keys, uv1, uv2, mask, threshold)
+
+
 @jax.jit
 def init_pair_stats(E, uv1, uv2, inliers):
     """Decompose E, count triangulable points and their angles.

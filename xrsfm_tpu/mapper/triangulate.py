@@ -207,12 +207,21 @@ def filter_tracks(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions()):
         if m.track_valid[tid] and m.track_obs[tid].get(f) == p:
             m.remove_observation(tid, f, p)
             n_rm += 1
-    # update stored error stat
-    for tid in track_ids:
-        if m.track_valid[tid]:
-            sel = (rows[:, 0] == tid) & ~bad
-            if np.any(sel):
-                m.track_error[tid] = float(np.sqrt(np.mean(err[sel])))
+    # update stored error stat (one bincount pass instead of a
+    # per-track scan over the observation rows).  track_error is in
+    # PIXELS (COLMAP's Point3D error convention; retriangulate's
+    # min_error_px gate reads it) — err is squared-normalized, so scale
+    # by focal^2 before averaging.
+    good = ~bad
+    if np.any(good):
+        gt = rows[good, 0]
+        err_px2 = err * per_frame_focal**2
+        sums = np.bincount(gt, weights=err_px2[good], minlength=m.num_tracks)
+        cnts = np.bincount(gt, minlength=m.num_tracks)
+        upd = (cnts > 0) & m.track_valid[: m.num_tracks]
+        m.track_error[: m.num_tracks][upd] = np.sqrt(
+            sums[upd] / cnts[upd]
+        )
     n_tr = sum(1 for tid in track_ids if not m.track_valid[tid])
     return n_rm, n_tr
 
@@ -263,23 +272,30 @@ def merge_frame_tracks(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
     (reference: MergeTracks, track_processor.cc:520-618).  A merge is
     accepted when every observation of the union reprojects under the
     threshold at the observation-count-weighted mean position."""
+    # vectorized candidate collection over the frame's CSR rows (the
+    # reference walks per-keypoint, MergeTracks track_processor.cc:520)
     csr = m.corr[frame]
-    cand = {}
-    for p2d, tid in enumerate(m.track_of[frame]):
-        if tid < 0 or not m.track_valid[tid]:
-            continue
-        of, op = csr.of(p2d)
-        for f2, pp in zip(of, op):
-            t2 = m.track_of[f2][pp]
-            if t2 >= 0 and t2 != tid and m.track_valid[t2]:
-                key = (min(int(tid), int(t2)), max(int(tid), int(t2)))
-                cand[key] = True
+    counts = np.diff(csr.offsets)
+    p2d_of_row = np.repeat(np.arange(len(counts)), counts)
+    tid1 = m.track_of[frame][p2d_of_row]  # [E]
+    rf, rp = csr.other_frame, csr.other_p2d
+    tid2 = np.full(len(rf), -1, np.int64)
+    for f2 in np.unique(rf):
+        sel = rf == f2
+        tid2[sel] = m.track_of[f2][rp[sel]]
+    valid = (
+        (tid1 >= 0) & (tid2 >= 0) & (tid1 != tid2)
+        & m.track_valid[np.clip(tid1, 0, None)]
+        & m.track_valid[np.clip(tid2, 0, None)]
+    )
+    lo = np.minimum(tid1[valid], tid2[valid])
+    hi = np.maximum(tid1[valid], tid2[valid])
+    cand = np.unique(np.stack([lo, hi], axis=1), axis=0) if len(lo) else []
     # batch all candidate merges into one padded device check
     V = 32
     cand_list = [
-        (t1, t2) for (t1, t2) in cand
-        if m.track_valid[t1] and m.track_valid[t2]
-        and len(m.track_obs[t1]) + len(m.track_obs[t2]) <= V
+        (int(t1), int(t2)) for t1, t2 in cand
+        if len(m.track_obs[int(t1)]) + len(m.track_obs[int(t2)]) <= V
     ]
     if not cand_list:
         return 0

@@ -111,7 +111,11 @@ def _build_rows(ids, other_ids, n_seg, O_full, max_width, bucket_lo):
     rows_per_seg = np.maximum((counts + M - 1) // M, 1)
     row_base = np.cumsum(rows_per_seg) - rows_per_seg
     n_rows = int(rows_per_seg.sum())
-    R = ((n_rows + 63) // 64 * 64) if n_rows > 64 else _bucket(n_rows, 8)
+    # power-of-two row bucket: multiples-of-64 rounding produced a long
+    # tail of distinct shapes, and every distinct (R, M) pair compiles a
+    # fresh LM executable (10-60 s each on this 2-vCPU host) — padding is
+    # orders of magnitude cheaper than one extra compile
+    R = _bucket(n_rows, 8)
 
     seg = np.zeros(R, np.int32)
     seg[:n_rows] = np.repeat(np.arange(n_seg, dtype=np.int32), rows_per_seg)
