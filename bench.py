@@ -115,28 +115,47 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
     # production solver (optim/ba.solve_ba runs its loop in-jit too) —
     # per-step Python dispatch would otherwise dominate on the tunneled
     # axon platform, whose round-trip latency grows over long sessions.
-    @jax.jit
-    def lm_run(p, lam):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def lm_run(p, lam, length):
         def body(carry, _):
             p_, lam_, _ = carry
             p2, lam2, cost = lm_step(p_, lam_)
             return (p2, lam2, cost), None
 
         (p2, lam2, cost), _ = jax.lax.scan(
-            body, (p, lam, jnp.float32(0.0)), None, length=iters
+            body, (p, lam, jnp.float32(0.0)), None, length=length
         )
         return p2, lam2, cost
 
     # NOTE: on the axon TPU platform jax.block_until_ready does NOT block;
     # a scalar host fetch is the only reliable barrier, so timing brackets
     # use float(cost).
+    #
+    # The tunnel adds a fixed per-dispatch overhead that GROWS over long
+    # sessions (measured: the same 30-iter run is ~0.76 s early and
+    # ~1.5 s hours later at identical final cost).  Timing one run would
+    # fold that overhead into the metric, so the headline iters/s is the
+    # DIFFERENCE between a 2N-iter and an N-iter run — fixed dispatch +
+    # fetch overhead cancels exactly and what remains is device LM
+    # throughput.
     lam = jnp.float32(1e-4)
-    p, lam2, cost = lm_run(prob, lam)  # compile
-    float(cost)
-    t0 = time.perf_counter()
-    p, lam2, cost = lm_run(prob, lam)
-    final_cost = float(cost)  # host fetch = sync barrier
-    dt = time.perf_counter() - t0
+
+    def timed(length, reps=2):
+        _, _, cost = lm_run(prob, lam, length)  # compile
+        final = float(cost)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, _, cost = lm_run(prob, lam, length)
+            float(cost)  # host fetch = sync barrier
+            best = min(best, time.perf_counter() - t0)
+        return best, final
+
+    t_n, final_cost = timed(iters)
+    t_2n, _ = timed(2 * iters)
+    dt = max(t_2n - t_n, 1e-6)
     return iters / dt, len(obs_cam), final_cost
 
 
