@@ -43,6 +43,46 @@ def test_corrupted_pose_detected():
     assert not EC.registration_is_consistent(m, f, opts)
 
 
+def test_try_locate_recovers_pose_two_view():
+    """try_locate computes the alternative hypothesis 2-view (essential +
+    cheirality + map-depth scale), so it must recover a frame's true pose
+    from a single camp pair even after the map pose is corrupted."""
+    m = _reconstructed_map()
+    from xrsfm_tpu.mapper.register import RegisterOptions
+    from xrsfm_tpu.utils import geometry as G
+
+    f = 3
+    q_true, t_true = m.q[f].copy(), m.t[f].copy()
+    # corrupt the map pose of f; the camp pair's matches + the other
+    # frame's pose are untouched, so the 2-view hypothesis should land
+    # back at the true pose
+    th = np.deg2rad(25.0)
+    dq = np.array([np.cos(th / 2), 0.0, np.sin(th / 2), 0.0])
+    m.q[f] = G.quat_mul_np(dq, m.q[f])
+    m.t[f] = m.t[f] + np.array([2.0, 0.0, 0.0])
+    # pick a registered neighbor with a verified pair as the "bad camp"
+    camp = None
+    for pid in m.frame_pairs_of[f]:
+        id1, id2, mt = m.pairs[pid]
+        other = id2 if id1 == f else id1
+        if m.registered[other] and len(mt) >= 12:
+            camp = other
+            break
+    assert camp is not None
+    alt = EC.try_locate(m, f, [camp], RegisterOptions(), min_corr=12)
+    assert alt is not None
+    q_alt, t_alt, assoc = alt
+    c_alt = G.pose_center_np(q_alt, t_alt)
+    c_true = G.pose_center_np(q_true, t_true)
+    # hypothesis-grade accuracy: the pose graph + KGBA refine afterwards;
+    # what matters is landing in the true basin, far from the corrupted
+    # pose (2.0 units off) and from any planar-mirror branch
+    assert np.linalg.norm(c_alt - c_true) < 0.35, (c_alt, c_true)
+    dot = abs(float(np.dot(q_alt / np.linalg.norm(q_alt), q_true)))
+    assert np.rad2deg(2 * np.arccos(min(dot, 1.0))) < 5.0
+    assert len(assoc) >= 8
+
+
 def test_batched_stats_match_single():
     m = _reconstructed_map()
     opts = EC.ErrorCorrectOptions()

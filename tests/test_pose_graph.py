@@ -71,7 +71,7 @@ def test_pose_graph_recovers_scale_drift():
         e_w=jnp.asarray(np.concatenate([e_w, lw])),
         fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
     )
-    t_new, s_new, cost = PG.solve_pose_graph(prob, iters=40)
+    q_new, t_new, s_new, cost = PG.solve_pose_graph(prob, iters=40)
     # centers should be closer to GT than the drifted start
     t_new = np.asarray(t_new)
     def centers(q, t):
@@ -96,7 +96,69 @@ def test_pose_graph_consistent_is_fixed_point():
         e_logs=jnp.asarray(e_ls), e_w=jnp.asarray(e_w),
         fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
     )
-    t_new, s_new, cost = PG.solve_pose_graph(prob, iters=10)
+    q_new, t_new, s_new, cost = PG.solve_pose_graph(prob, iters=10)
     np.testing.assert_allclose(np.asarray(t_new), t_gt, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s_new), 1.0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.abs(np.sum(np.asarray(q_new) * q_gt, axis=1)), 1.0, atol=1e-5
+    )
     assert float(cost) < 1e-6
+
+
+def test_pose_graph_recovers_rotation_drift():
+    """A loop traversed in one arm accumulates rotational drift; the
+    full-pose graph (rotations optimized, unlike the reference's
+    translation+scale-only ScalePoseGraphUnorder) must remove it once a
+    loop edge pins the closure."""
+    n = 12
+    q_gt, t_gt = _circle_trajectory(n)
+    R_all = np.asarray(G.quat_to_rotmat(jnp.asarray(q_gt)))
+    c_gt = np.stack([-R_all[i].T @ t_gt[i] for i in range(n)])
+    # inject growing rotation drift: frame i's world orientation rotated
+    # by an extra (i/n)*12 deg about y, centers rotated along with it
+    q_drift, t_drift = [q_gt[0]], [t_gt[0]]
+    for i in range(1, n):
+        ang = np.deg2rad(12.0) * i / (n - 1)
+        Dw = np.asarray(G.quat_to_rotmat_np(
+            np.array([np.cos(ang / 2), 0.0, np.sin(ang / 2), 0.0])
+        ))
+        Rd = R_all[i] @ Dw.T  # Tcw rotation after world-frame drift Dw
+        cd = Dw @ c_gt[i]
+        q_drift.append(G.rotmat_to_quat_np(Rd))
+        t_drift.append(-Rd @ cd)
+    q_drift = np.asarray(q_drift, np.float32)
+    t_drift = np.asarray(t_drift, np.float32)
+
+    pairs = (
+        [(i, i + 1) for i in range(n - 1)]
+        + [(i, i + 2) for i in range(n - 2)]
+    )
+    e_i, e_j, e_q, e_t, e_ls, e_w = PG.build_edges_from_poses(
+        q_drift, t_drift, pairs
+    )
+    loop_pairs = [(n - 1, 0), (n - 1, 1), (n - 2, 0)]
+    li, lj, lq, lt, lls, lw = PG.build_edges_from_poses(
+        q_gt, t_gt, loop_pairs, weights=[4.0] * len(loop_pairs)
+    )
+    prob = PG.PoseGraphProblem(
+        q=jnp.asarray(q_drift),
+        t=jnp.asarray(t_drift),
+        log_s=jnp.zeros(n, jnp.float32),
+        e_i=jnp.asarray(np.concatenate([e_i, li])),
+        e_j=jnp.asarray(np.concatenate([e_j, lj])),
+        e_rot=jnp.asarray(np.concatenate([e_q, lq])),
+        e_trans=jnp.asarray(np.concatenate([e_t, lt])),
+        e_logs=jnp.asarray(np.concatenate([e_ls, lls])),
+        e_w=jnp.asarray(np.concatenate([e_w, lw])),
+        fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
+    )
+    q_new, t_new, s_new, cost = PG.solve_pose_graph(prob, iters=40)
+    q_new = np.asarray(q_new)
+
+    def rot_err_deg(qa, qb):
+        d = np.clip(np.abs(np.sum(qa * qb, axis=1)), 0, 1)
+        return np.rad2deg(2 * np.arccos(d))
+
+    err_before = rot_err_deg(q_drift, q_gt).mean()
+    err_after = rot_err_deg(q_new / np.linalg.norm(q_new, axis=1, keepdims=True), q_gt).mean()
+    assert err_after < 0.3 * err_before, (err_before, err_after)

@@ -21,7 +21,7 @@ Flow per newly registered frame (reference CheckAndCorrectPose):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,18 @@ class ErrorCorrectOptions:
     angle_band_deg: float = 2.0  # reference: sin 2 deg band
     min_good_ratio: float = 0.8  # reference: >= 80% inliers = good pair
     pure_rotation_th: float = 0.01
-    hypothesis_dist_th: float = 1.5  # reference: 1.5 (scene units)
+    # The reference gates loop correction on an ABSOLUTE 1.5 m hypothesis
+    # distance (error_corrector.cc:219) — tuned for metric phone/KITTI
+    # captures.  A scene-units constant misses drift in scenes whose
+    # trajectory span is a few units, so the gate here is RELATIVE to the
+    # median baseline between the frame and its covisible neighbors
+    # (capped by the absolute value for metric compatibility).
+    hypothesis_dist_th: float = 1.5  # absolute cap (scene units)
+    hypothesis_dist_rel: float = 2.0  # x median covisible baseline
+    # TryLocate relocates against a single loop pair's tracks; demanding
+    # the full registration minimum (20) starves it exactly where loops
+    # announce themselves first (one matched pair across the junction)
+    loop_min_correspondences: int = 12
     min_covis_engage: int = 10  # engage detection when covis obs < 10
     loop_edge_weight: float = 4.0
     covis_min_shared: int = 10
@@ -70,14 +81,23 @@ _rel_pose_stats_batch = jax.jit(
 )
 
 
-def _pair_stats_many(m: SfMMap, pair_list, opts: ErrorCorrectOptions):
+def _pair_stats_many(m: SfMMap, pair_list, opts: ErrorCorrectOptions,
+                     pose_override=None):
     """Relative-pose consistency stats for many (id1, id2, matches)
     tuples in ONE device dispatch + ONE fetch.  The per-pair version cost
     a full axon-tunnel round-trip (~13 ms) per matched neighbor, which
     dominated registration wall time (~10 neighbors/frame).
 
+    pose_override: optional {frame_id: (q, t)} evaluated instead of the
+    map pose — used to validate an alternative hypothesis.
+
     Returns [P, 3] numpy (good, total, baseline)."""
     from . import kernels as K
+
+    pose_override = pose_override or {}
+
+    def pose(f):
+        return pose_override.get(f, (m.q[f], m.t[f]))
 
     P = len(pair_list)
     nb = max(K.bucket(max(len(mt) for _, _, mt in pair_list)), 64)
@@ -92,8 +112,8 @@ def _pair_stats_many(m: SfMMap, pair_list, opts: ErrorCorrectOptions):
     mask = np.zeros((pb, nb), bool)
     for i, (id1, id2, mt) in enumerate(pair_list):
         n = len(mt)
-        q1[i], t1[i] = m.q[id1], m.t[id1]
-        q2[i], t2[i] = m.q[id2], m.t[id2]
+        q1[i], t1[i] = pose(id1)
+        q2[i], t2[i] = pose(id2)
         uv1[i, :n] = m.kps_norm[id1][mt[:, 0]]
         uv2[i, :n] = m.kps_norm[id2][mt[:, 1]]
         mask[i, :n] = True
@@ -177,46 +197,96 @@ def registration_is_consistent(m: SfMMap, frame: int,
 
 
 def try_locate(m: SfMMap, frame: int, bad_frames: List[int],
-               reg_opts: register.RegisterOptions):
-    """Alternative pose hypothesis from the bad-matched subset only
+               reg_opts: register.RegisterOptions,
+               min_corr: Optional[int] = None):
+    """Alternative pose hypothesis from the bad-matched camp
     (reference: TryLocate -> RegisterNextImageLocal,
-    error_corrector.cc:120-142 / pnp.cc:133-168)."""
-    bad_set = set(bad_frames)
-    # restricted correspondence search
-    csr = m.corr[frame]
-    p2ds, tids = [], []
-    counts = np.diff(csr.offsets)
-    p2d_of_row = np.repeat(np.arange(len(counts)), counts)
-    for row in range(len(csr.other_frame)):
-        f2 = int(csr.other_frame[row])
-        if f2 not in bad_set or not m.registered[f2]:
-            continue
-        tid = m.track_of[f2][csr.other_p2d[row]]
-        if tid >= 0 and m.track_valid[tid]:
-            p2ds.append(int(p2d_of_row[row]))
-            tids.append(int(tid))
-    if len(p2ds) < reg_opts.min_correspondences:
+    error_corrector.cc:120-142 / pnp.cc:133-168).
+
+    The reference relocates with PnP against the camp's 3D points.  On
+    plane-dominated camps (walls) PnP has the classic coplanar two-fold
+    ambiguity and happily returns the mirror branch — observed here as a
+    "relocated" pose 9.7 scene units away that still collects >100
+    reprojection inliers.  The hypothesis is instead computed 2-VIEW:
+    essential RANSAC on the strongest camp pair's matches, pose recovery
+    with the cheirality vote (the mirror branch puts points behind the
+    cameras and loses), and translation scale from the camp's map depths
+    at the matched keypoints.  Returns (q_alt, t_alt, assoc) where assoc
+    maps the frame's keypoints to the camp's track ids (for
+    merge_track_loop)."""
+    min_corr = reg_opts.min_correspondences if min_corr is None else min_corr
+    bad_set = set(int(f) for f in bad_frames)
+    best = None
+    for pid in m.frame_pairs_of[frame]:
+        id1, id2, mt = m.pairs[pid]
+        other = id2 if id1 == frame else id1
+        if other in bad_set and m.registered[other] and len(mt) >= 8:
+            if best is None or len(mt) > len(best[2]):
+                best = (id1, id2, mt, other)
+    if best is None:
+        return None
+    id1, id2, mt, other = best
+    mk_other = mt[:, 0] if id1 == other else mt[:, 1]
+    mk_frame = mt[:, 1] if id1 == other else mt[:, 0]
+    if len(mt) < min_corr:
         return None
     import jax
 
     from . import kernels
 
-    uv = m.kps_norm[frame][np.asarray(p2ds)]
-    xyz = m.track_xyz[np.asarray(tids)].astype(np.float32)
-    b = kernels.bucket(len(p2ds))
+    uv1 = m.kps_norm[other][mk_other]
+    uv2 = m.kps_norm[frame][mk_frame]
+    b = kernels.bucket(len(mt))
     mask = np.zeros(b, bool)
-    mask[: len(p2ds)] = True
+    mask[: len(mt)] = True
     focal = float(m.cameras[int(m.cam_of_frame[frame])][0])
-    q, t, inl, n_inl, ok = jax.device_get(kernels.pnp_ransac(
-        jax.random.PRNGKey(frame + 777),
-        kernels.pad_rows(uv, b),
-        kernels.pad_rows(xyz, b),
-        mask,
-        (reg_opts.ransac_px / focal) ** 2,
-    ))
-    if not bool(ok) or int(n_inl) < reg_opts.min_correspondences:
+    th = (reg_opts.ransac_px / focal) ** 2
+    E, inl, n_inl, success = kernels.essential_ransac(
+        jax.random.PRNGKey((frame * 31 + other + 777) & 0x7FFFFFFF),
+        kernels.pad_rows(uv1, b), kernels.pad_rows(uv2, b), mask, th,
+    )
+    import jax.numpy as jnp
+
+    q_r, t_r, n_good, X, good, _ang = kernels.init_pair_stats(
+        E, jnp.asarray(kernels.pad_rows(uv1, b)),
+        jnp.asarray(kernels.pad_rows(uv2, b)), inl,
+    )
+    q_r, t_r, n_good, X, good, inl, success = jax.device_get(
+        (q_r, t_r, n_good, X, good, inl, success)
+    )
+    if not bool(success) or int(n_good) < min_corr:
         return None
-    return np.asarray(q, np.float64), np.asarray(t, np.float64), int(n_inl)
+    n = len(mt)
+    good = np.asarray(good)[:n] & np.asarray(inl)[:n]
+    X = np.asarray(X, np.float64)[:n]  # points in `other`'s camera frame
+
+    # translation scale from the camp's map structure: depth of the
+    # matched tracks in `other`'s camera vs the 2-view triangulated depth
+    tids = m.track_of[other][mk_other]
+    has_track = (tids >= 0)
+    has_track[has_track] = m.track_valid[tids[has_track]]
+    sel = good & has_track & (X[:, 2] > 1e-6)
+    if np.count_nonzero(sel) < 4:
+        return None
+    R_o = G.quat_to_rotmat_np(m.q[other])
+    z_map = (m.track_xyz[tids[sel]] @ R_o.T + m.t[other])[:, 2]
+    z_tri = X[sel, 2]
+    pos = (z_map > 1e-6) & (z_tri > 1e-6)
+    if np.count_nonzero(pos) < 4:
+        return None
+    s = float(np.median(z_map[pos] / z_tri[pos]))
+    if not np.isfinite(s) or s <= 1e-6:
+        return None
+
+    # T_frame<-world = T_frame<-other * T_other<-world, translation scaled
+    q_alt = G.quat_mul_np(q_r, m.q[other])
+    R_r = G.quat_to_rotmat_np(np.asarray(q_r, np.float64))
+    t_alt = R_r @ m.t[other] + s * np.asarray(t_r, np.float64)
+    assoc = [
+        (int(mk_frame[k]), int(tids[k]))
+        for k in np.nonzero(good & has_track)[0]
+    ]
+    return np.asarray(q_alt, np.float64), np.asarray(t_alt, np.float64), assoc
 
 
 def _mean_depth(m: SfMMap, frame: int, q, t) -> float:
@@ -230,26 +300,44 @@ def _mean_depth(m: SfMMap, frame: int, q, t) -> float:
     return float(np.mean(z)) if len(z) else 1.0
 
 
-def correct_loop(m: SfMMap, frame: int, q_alt, t_alt,
+def correct_loop(m: SfMMap, frame: int, q_alt, t_alt, camp2: List[int],
                  opts: ErrorCorrectOptions):
     """Scale pose-graph correction
-    (reference: error_corrector.cc:187-246 + ScalePoseGraphUnorder)."""
+    (reference: error_corrector.cc:187-246 + ScalePoseGraphUnorder).
+
+    camp2 is the set of matched frames whose epipolar geometry disagrees
+    with the current PnP pose — the side the alt hypothesis (q_alt,
+    t_alt) was located against.  Mirroring the reference's
+    DivideMatchedFrames/AddLoopEdge: loop edges anchor each hypothesis
+    ONLY to its own camp (current pose -> camp-1 neighbors, alt pose ->
+    camp-2 neighbors); an alt-pose edge to a camp-1 frame would fight the
+    correction it is supposed to deliver."""
+    camp2_set = set(int(f) for f in camp2)
     KF._ensure_fields(m)
     KF.keyframe_selection(m)
     keyframes = [
         f for f in range(m.num_frames) if m.registered[f] and m.is_keyframe[f]
     ]
-    if frame not in keyframes:
-        keyframes.append(frame)
+    # the corrected frame and its two camps must be graph nodes
+    neigh_all, _ = m.covisible_frames(frame, min_shared=1)
+    camp1 = [int(f) for f in neigh_all if int(f) not in camp2_set][:5]
+    for f in [frame] + sorted(camp2_set) + camp1:
+        if m.registered[f] and f not in keyframes:
+            keyframes.append(f)
+    keyframes.sort()
     idx = {f: i for i, f in enumerate(keyframes)}
     N = len(keyframes)
+    fi = idx[frame]
 
-    # covisibility edges between keyframes (current relative poses)
+    # covisibility edges between keyframes (current relative poses);
+    # the corrected frame's own edges are supplied as loop edges below
     edges = []
     for a_i, f in enumerate(keyframes):
+        if f == frame:
+            continue
         neigh, counts = m.covisible_frames(f, min_shared=opts.covis_min_shared)
         for f2, c in zip(neigh, counts):
-            if int(f2) in idx and idx[int(f2)] > a_i:
+            if int(f2) in idx and idx[int(f2)] > a_i and int(f2) != frame:
                 edges.append((a_i, idx[int(f2)], 1.0))
     if not edges:
         return False
@@ -260,29 +348,32 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt,
         m.q[keyframes], m.t[keyframes], pairs, weights
     )
 
-    # loop edge: the corrected frame against itself-as-relocated — anchor
-    # the alt hypothesis to its strongest bad-side neighbor via the
-    # measured relative transform under (q_alt, t_alt)
+    # observed depth-ratio between the hypotheses -> loop-edge scale
+    # (reference: GetLoopInfo, error_corrector.cc:66-95)
     d_cur = _mean_depth(m, frame, m.q[frame], m.t[frame])
     d_alt = _mean_depth(m, frame, q_alt, t_alt)
     s_obs = max(d_cur, 1e-6) / max(d_alt, 1e-6)
 
-    # edges from alt pose to covisible keyframes computed with alt pose
+    # loop edges: current hypothesis -> camp 1, alt hypothesis -> camp 2
+    loop_specs = []  # (pairs, q_of_frame, t_of_frame, extra_logs)
+    camp1_pairs = [(fi, idx[f]) for f in camp1 if f in idx]
+    camp2_pairs = [(fi, idx[f]) for f in sorted(camp2_set)
+                   if f in idx and m.registered[f]][:5]
+    if camp1_pairs:
+        loop_specs.append((camp1_pairs, m.q[frame], m.t[frame], 0.0))
+    if camp2_pairs:
+        loop_specs.append((camp2_pairs, q_alt, t_alt, np.log(s_obs)))
+    if not camp2_pairs:
+        return False
     qs = m.q[keyframes].copy()
     ts = m.t[keyframes].copy()
-    fi = idx[frame]
-    q_save, t_save = qs[fi].copy(), ts[fi].copy()
-    qs[fi], ts[fi] = q_alt, t_alt
-    neigh, counts = m.covisible_frames(frame, min_shared=1)
-    loop_pairs = [
-        (fi, idx[int(f2)]) for f2 in neigh if int(f2) in idx
-    ][:5]
-    if loop_pairs:
+    for loop_pairs, qf, tf, extra_ls in loop_specs:
+        qs[fi], ts[fi] = qf, tf
         li, lj, lq, lt, lls, lw = PG.build_edges_from_poses(
             qs, ts, loop_pairs,
             [opts.loop_edge_weight] * len(loop_pairs),
         )
-        lls = lls + np.log(s_obs)
+        lls = lls + extra_ls
         e_i = np.concatenate([e_i, li])
         e_j = np.concatenate([e_j, lj])
         e_q = np.concatenate([e_q, lq])
@@ -290,10 +381,9 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt,
         e_ls = np.concatenate([e_ls, lls])
         e_w = np.concatenate([e_w, lw])
 
+    # anchor: the oldest keyframe that is not the corrected frame
     fixed = np.zeros(N, bool)
-    fixed[fi] = False
-    # anchor: the oldest keyframe
-    fixed[0] = True
+    fixed[0 if fi != 0 else 1] = True
 
     prob = PG.PoseGraphProblem(
         q=jnp.asarray(m.q[keyframes], jnp.float32),
@@ -307,37 +397,88 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt,
         e_w=jnp.asarray(e_w),
         fixed=jnp.asarray(fixed),
     )
-    # store pre-correction ref-frame depths for point re-emission
-    track_ref: List[Tuple[int, int, float]] = []  # (tid, kf, depth)
-    kf_set = set(keyframes)
-    for tid in np.nonzero(m.track_valid[: m.num_tracks])[0]:
-        obs = m.track_obs[int(tid)]
-        ref = next((f for f in obs if f in kf_set), None)
-        if ref is None:
-            continue
-        R = G.quat_to_rotmat_np(m.q[ref])
-        z = float((R @ m.track_xyz[tid] + m.t[ref])[2])
-        track_ref.append((int(tid), ref, z))
-
-    t_new, s_new, cost = PG.solve_pose_graph(prob)
+    q_new, t_new, _s_new, _cost = jax.device_get(PG.solve_pose_graph(prob))
+    q_new = np.asarray(q_new, np.float64)
     t_new = np.asarray(t_new, np.float64)
-    s_new = np.asarray(s_new, np.float64)
     for i, f in enumerate(keyframes):
+        m.q[f] = q_new[i]
         m.t[f] = t_new[i]
     KF.update_by_ref_frame(m)
 
-    # re-emit points from ref-frame depth with the per-frame scale
-    # (reference: ba_solver.cc:269-327)
-    for tid, ref, z in track_ref:
-        i = idx[ref]
-        p2d = m.track_obs[tid].get(ref)
-        if p2d is None:
-            continue
-        uv = m.kps_norm[ref][p2d]
-        ray = np.array([uv[0], uv[1], 1.0]) * z * s_new[i]
-        Rr = G.quat_to_rotmat_np(m.q[ref])
-        m.track_xyz[tid] = Rr.T @ (ray - m.t[ref])
+    # Rebuild the structure under the corrected poses by batched
+    # multi-view retriangulation of EVERY track.  The reference instead
+    # re-emits each point from its ref-keyframe depth times the solved
+    # per-frame scale (ba_solver.cc:269-327) — the cheap option when
+    # points are touched one-by-one on CPU, but it keeps the
+    # pre-correction depth error.  Retriangulation from all observations
+    # is one padded device call here and hands the follow-up KGBA a
+    # self-consistent starting structure.
+    all_tracks = np.nonzero(m.track_valid[: m.num_tracks])[0]
+    triangulate.retriangulate(m, all_tracks)
     return True
+
+
+def merge_track_loop(m: SfMMap, frame: int, assoc, camp2) -> int:
+    """Fuse duplicate tracks across the loop BY KEYPOINT IDENTITY
+    (reference: MergeTrackLoop, error_corrector.cc:144-185).
+
+    assoc maps the junction frame's keypoints to camp-2 tracks (the
+    TryLocate inliers).  The camp-1 partner for the same physical point
+    is found through the junction keypoint: either the frame's own
+    track (direct registration extension) or — far more often, since
+    extension only covers the PnP inliers — ONE HOP through the
+    correspondence graph (the keypoint's verified match in a camp-1
+    frame that already carries a track).  Both associations observe the
+    same point, so the tracks are merged UNCONDITIONALLY — a
+    reprojection gate (as in ordinary MergeTracks) can never pass while
+    residual loop drift remains, and these long cross-loop tracks are
+    precisely what gives the follow-up BA enough constraint votes to
+    pull the loop closed."""
+    camp2_set = set(int(f) for f in camp2)
+    # one-hop camp-1 track lookup per junction keypoint (vectorized
+    # over the frame's CSR rows)
+    csr = m.corr[frame]
+    counts = np.diff(csr.offsets)
+    p2d_of_row = np.repeat(np.arange(len(counts)), counts)
+    rf, rp = csr.other_frame, csr.other_p2d
+    row_tid = np.full(len(rf), -1, np.int64)
+    camp1_row = np.zeros(len(rf), bool)
+    for f2 in np.unique(rf):
+        f2i = int(f2)
+        sel = rf == f2
+        if not m.registered[f2i] or f2i in camp2_set or f2i == frame:
+            continue
+        camp1_row[sel] = True
+        row_tid[sel] = m.track_of[f2i][rp[sel]]
+    ok_row = camp1_row & (row_tid >= 0)
+    ok_row[ok_row] = m.track_valid[row_tid[ok_row]]
+    camp1_of_p2d = {}
+    for r in np.nonzero(ok_row)[0]:
+        camp1_of_p2d.setdefault(int(p2d_of_row[r]), int(row_tid[r]))
+
+    merged = 0
+    for p2d, tid2 in assoc:
+        p2d, tid2 = int(p2d), int(tid2)
+        if not m.track_valid[tid2]:
+            continue
+        tid1 = int(m.track_of[frame][p2d])
+        if tid1 < 0 or not m.track_valid[tid1]:
+            tid1 = camp1_of_p2d.get(p2d, -1)
+        if tid1 == tid2:
+            continue
+        if tid1 >= 0 and m.track_valid[tid1]:
+            # the two tracks are the same physical point: union the
+            # observations into the camp-2 track (injective per frame)
+            for f, p in list(m.track_obs[tid1].items()):
+                m.remove_observation(tid1, f, p)
+                if m.track_valid[tid2] and f not in m.track_obs[tid2]:
+                    m.add_observation(tid2, f, p)
+            if m.track_valid[tid1]:
+                m.delete_track(tid1)
+            merged += 1
+        elif frame not in m.track_obs[tid2]:
+            m.add_observation(tid2, frame, p2d)
+    return merged
 
 
 def check_and_correct_pose(
@@ -352,18 +493,65 @@ def check_and_correct_pose(
     bad = check_all_relative_pose(m, frame, opts)
     if not bad:
         return False
-    alt = try_locate(m, frame, bad, reg_opts)
+    alt = try_locate(m, frame, bad, reg_opts,
+                     min_corr=opts.loop_min_correspondences)
     if alt is None:
         return False
-    q_alt, t_alt, _ = alt
+    q_alt, t_alt, assoc = alt
+    # The alt hypothesis must satisfy the epipolar geometry of ITS OWN
+    # camp — a planar-PnP mirror pose can collect inliers by reprojection
+    # yet be geometrically wrong, and feeding it to the pose graph as a
+    # loop edge wrecks the correction instead of delivering it.
+    alt_pairs = []
+    for pid in m.frame_pairs_of[frame]:
+        id1, id2, matches = m.pairs[pid]
+        other = id2 if id1 == frame else id1
+        if other in bad and len(matches) >= 8:
+            alt_pairs.append((id1, id2, matches))
+    if alt_pairs:
+        stats = _pair_stats_many(
+            m, alt_pairs, opts, pose_override={frame: (q_alt, t_alt)}
+        )
+        n_ok = sum(1 for s in stats if _good_from_stats(s, opts))
+        if n_ok < 0.5 * len(alt_pairs):
+            return False
     c_cur = G.pose_center_np(m.q[frame], m.t[frame])
     c_alt = G.pose_center_np(q_alt, t_alt)
-    if np.linalg.norm(c_cur - c_alt) <= opts.hypothesis_dist_th:
+    neigh, _counts = m.covisible_frames(frame, min_shared=1)
+    baselines = [
+        float(np.linalg.norm(
+            G.pose_center_np(m.q[int(f2)], m.t[int(f2)]) - c_cur
+        ))
+        for f2 in neigh[:8]
+    ]
+    th = opts.hypothesis_dist_th
+    if baselines:
+        th = min(th, opts.hypothesis_dist_rel * float(np.median(baselines)))
+    if np.linalg.norm(c_cur - c_alt) <= th:
         return False
-    corrected = correct_loop(m, frame, q_alt, t_alt, opts)
+    corrected = correct_loop(m, frame, q_alt, t_alt, bad, opts)
     if corrected:
-        # merge duplicate tracks across the loop + KGBA + filter
-        # (reference: MergeTrackLoop + KGBA, error_corrector.cc:144-185,230-241)
-        triangulate.merge_frame_tracks(m, frame, tri_opts)
-        KF.kgba(m, BAOptions(max_iters=20, huber_px=4.0), tri_opts)
+        # merge duplicate tracks across the loop by keypoint identity,
+        # then KGBA + filter (reference: MergeTrackLoop + KGBA,
+        # error_corrector.cc:144-185,230-241) — accurate-profile
+        # iterations: the pose-graph move is a large perturbation and
+        # the fast profile leaves BA short of converged
+        n_fused = merge_track_loop(m, frame, assoc, bad)
+        all_tracks = np.nonzero(m.track_valid[: m.num_tracks])[0]
+        triangulate.retriangulate(m, all_tracks)
+        KF.kgba(m, BAOptions(max_iters=40, huber_px=4.0), tri_opts)
+        # With geometry corrected, cross-loop duplicate tracks (built
+        # independently by each camp while the loop was open) now pass
+        # the ordinary reprojection merge gate — a global sweep fuses
+        # them into the long tracks that anchor the closure permanently.
+        sweep = sorted(set(
+            [frame] + [int(f) for f in bad]
+            + [int(f) for f in m.covisible_frames(frame, min_shared=1)[0]]
+        ))
+        n_fused += triangulate.merge_all_tracks(m, sweep, tri_opts)
+        all_tracks = np.nonzero(m.track_valid[: m.num_tracks])[0]
+        triangulate.retriangulate(m, all_tracks)
+        print(f"[mapper] loop merge: {n_fused} cross-loop tracks fused",
+              flush=True)
+        KF.kgba(m, BAOptions(max_iters=40, huber_px=4.0), tri_opts)
     return corrected

@@ -118,6 +118,25 @@ class IncrementalMapper:
             t0 = time.time()
             consistent = EC.registration_is_consistent(m, nxt)
             self.stats.time_consistency += time.time() - t0
+            checked_correction = False
+            if not consistent and o.correct_pose:
+                # An epipolar-inconsistent pose at a well-matched frame is
+                # the loop-closure signature: the PnP pose (drifted camp)
+                # disagrees with the other camp's epipolar geometry.  The
+                # reference routes this into CheckAndCorrectPose
+                # (error_corrector.cc:187-246) rather than rejecting —
+                # dropping the frame would leave the map a chain that no
+                # amount of BA can de-drift.
+                t0 = time.time()
+                if EC.check_and_correct_pose(
+                    m, nxt, reg_opts=o.reg, tri_opts=o.tri
+                ):
+                    self._log(f"frame {nxt}: loop error corrected")
+                    consistent = True
+                else:
+                    consistent = EC.registration_is_consistent(m, nxt)
+                self.stats.time_check += time.time() - t0
+                checked_correction = True
             if not consistent:
                 # planar-PnP ambiguity / bad registration: undo; retry once
                 # later (more tracks may disambiguate), then fail for good
@@ -135,9 +154,7 @@ class IncrementalMapper:
                 continue
             self.stats.registered += 1
 
-            if o.correct_pose:
-                from . import error_correct as EC
-
+            if o.correct_pose and not checked_correction:
                 t0 = time.time()
                 if EC.check_and_correct_pose(
                     m, nxt, reg_opts=o.reg, tri_opts=o.tri
@@ -203,6 +220,10 @@ class IncrementalMapper:
 
             tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)
             triangulate.filter_tracks(m, None, tight)
+            # global merge sweep: duplicates that survived mapping (e.g.
+            # the two camps of a closed loop) pass the reprojection gate
+            # once GBA has settled the geometry
+            triangulate.merge_all_tracks(m, None, self.opts.tri)
             n_rt = triangulate.retriangulate(m, None, self.opts.tri)
             ba_glue.run_ba(
                 m, reg_frames, BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0)

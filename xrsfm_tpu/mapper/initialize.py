@@ -22,7 +22,12 @@ import numpy as np
 from . import kernels
 from ..base.map import SfMMap
 
-_CHUNK = 16  # candidates per fused dispatch (fixed -> one compile per B)
+# candidates per fused dispatch (fixed sizes -> one compile per (K, B)).
+# The first dispatch probes only the top-4 candidates: the best-matched
+# pair passes the strictest gates in the vast majority of scenes, and a
+# 4-wide probe is a quarter of the 16-wide RANSAC compute.
+_CHUNK_FIRST = 4
+_CHUNK = 16
 
 
 @dataclasses.dataclass
@@ -38,18 +43,20 @@ class InitOptions:
     max_candidates: int = 50
 
 
-def _probe_chunk(m: SfMMap, cands, ransac_px: float):
+def _probe_chunk(m: SfMMap, cands, ransac_px: float, pad_to: int = _CHUNK):
     """Run the fused E-RANSAC + pose/triangulation probe on a chunk of
     candidate pairs (one dispatch + one fetch).  Returns a list of
     per-candidate host dicts with keys q, t, n_good, X, good, ang,
     n_inl, success — arrays already cropped to the true match count."""
     K = len(cands)
+    # only the two fixed widths may reach the jit cache
+    pad_to = _CHUNK_FIRST if max(pad_to, K) <= _CHUNK_FIRST else _CHUNK
     b = max(kernels.bucket(len(mt)) for _, _, mt in cands)
-    keys = np.zeros((_CHUNK, 2), np.uint32)
-    uv1 = np.zeros((_CHUNK, b, 2), np.float32)
-    uv2 = np.zeros((_CHUNK, b, 2), np.float32)
-    mask = np.zeros((_CHUNK, b), bool)
-    th = np.full(_CHUNK, 1e-6, np.float32)
+    keys = np.zeros((pad_to, 2), np.uint32)
+    uv1 = np.zeros((pad_to, b, 2), np.float32)
+    uv2 = np.zeros((pad_to, b, 2), np.float32)
+    mask = np.zeros((pad_to, b), bool)
+    th = np.full(pad_to, 1e-6, np.float32)
     for k, (id1, id2, matches) in enumerate(cands):
         n = len(matches)
         uv1[k, :n] = m.kps_norm[id1][matches[:, 0]]
@@ -60,7 +67,7 @@ def _probe_chunk(m: SfMMap, cands, ransac_px: float):
         keys[k] = np.asarray(
             jax.random.PRNGKey((id1 * 32768 + id2) & 0x7FFFFFFF)
         )
-    for k in range(K, _CHUNK):  # pad with a real candidate: SVDs stay sane
+    for k in range(K, pad_to):  # pad with a real candidate: SVDs stay sane
         keys[k], uv1[k], uv2[k], mask[k], th[k] = (
             keys[K - 1], uv1[K - 1], uv2[K - 1], mask[K - 1], th[K - 1]
         )
@@ -99,7 +106,8 @@ def check_init_pair(m: SfMMap, id1: int, id2: int, matches, opts: InitOptions):
     Returns (ok, q2, t2, xyz [M,3], accept_mask [M])."""
     if len(matches) < 8:
         return False, None, None, None, None
-    stats = _probe_chunk(m, [(id1, id2, matches)], opts.ransac_px)[0]
+    stats = _probe_chunk(m, [(id1, id2, matches)], opts.ransac_px,
+                         pad_to=_CHUNK_FIRST)[0]
     accept = _gate(stats, opts)
     if accept is None:
         return False, None, None, None, None
@@ -141,28 +149,49 @@ def find_and_initialize(m: SfMMap, opts: InitOptions = InitOptions(),
     order = sorted(
         range(len(m.pairs)), key=lambda i: -len(m.pairs[i][2])
     )[: opts.max_candidates]
+    attempts = _gate_ladder(opts)
     if init_id1 >= 0 and init_id2 >= 0:
+        # explicit init ids are authoritative (reference: user-set
+        # init_id1/init_id2, incremental_mapper.h:14-24): run the forced
+        # pair through the ENTIRE relaxation ladder before considering
+        # any automatic candidate
         forced = [
             i for i in range(len(m.pairs))
             if {m.pairs[i][0], m.pairs[i][1]} == {init_id1, init_id2}
+            and len(m.pairs[i][2]) >= 8
         ]
-        order = forced + [i for i in order if i not in forced]
+        for pi in forced:
+            id1, id2, matches = m.pairs[pi]
+            stats = _probe_chunk(
+                m, [(id1, id2, matches)], opts.ransac_px,
+                pad_to=_CHUNK_FIRST,
+            )[0]
+            for att in attempts:
+                accept = _gate(stats, att)
+                if accept is not None:
+                    _commit(m, id1, id2, matches, stats, accept)
+                    return True
+        order = [i for i in order if i not in forced]
     cands = [m.pairs[pi] for pi in order if len(m.pairs[pi][2]) >= 8]
-    attempts = _gate_ladder(opts)
 
     # Probe chunk by chunk in priority order.  If any probed candidate
     # passes the STRICTEST attempt we can commit immediately (all
     # unprobed candidates have lower priority); otherwise cache stats
     # and walk the relaxation ladder once everything is probed.
     probed = []
-    for c0 in range(0, len(cands), _CHUNK):
-        chunk = cands[c0:c0 + _CHUNK]
-        probed.extend(zip(chunk, _probe_chunk(m, chunk, opts.ransac_px)))
+    c0 = 0
+    while c0 < len(cands):
+        size = _CHUNK_FIRST if c0 == 0 else _CHUNK
+        chunk = cands[c0:c0 + size]
+        probed.extend(zip(chunk, _probe_chunk(
+            m, chunk, opts.ransac_px, pad_to=size
+        )))
         for (id1, id2, matches), stats in probed[c0:]:
             accept = _gate(stats, attempts[0])
             if accept is not None:
                 _commit(m, id1, id2, matches, stats, accept)
                 return True
+        c0 += size
     for att in attempts[1:]:
         for (id1, id2, matches), stats in probed:
             accept = _gate(stats, att)

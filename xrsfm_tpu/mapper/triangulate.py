@@ -158,6 +158,20 @@ def _apply_creations(m: SfMMap, obs_sets, th, min_angle, max_views) -> int:
     return n_new
 
 
+def merge_all_tracks(m: SfMMap, frames=None, opts: TriOptions = TriOptions()):
+    """Merge pass over many frames (reference applies MergeTracks
+    per-frame during mapping; a global sweep is used after loop
+    correction and in the final polish, when corrected geometry lets
+    cross-loop duplicates pass the reprojection gate).  Returns total
+    merged."""
+    if frames is None:
+        frames = np.nonzero(m.registered)[0]
+    total = 0
+    for f in frames:
+        total += merge_frame_tracks(m, int(f), opts)
+    return total
+
+
 def filter_tracks(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions()):
     """Drop observations with big reprojection error / bad depth, and
     tracks with tiny triangulation angle (reference: FilterPoints3d,
