@@ -182,7 +182,7 @@ def bench_matching(n_feats=4096, batch=16, reps=10, seed=0):
     return batch * reps / dt
 
 
-def main():
+def run_benchmarks():
     ba_iters_per_s, n_obs, cost = bench_ba()
     pairs_per_s = bench_matching()
     baseline_iters_per_s = 10.0  # documented estimate, see module docstring
@@ -197,7 +197,46 @@ def main():
             "ba_final_cost": round(cost, 2),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def main():
+    """Run the benchmarks in a watchdogged child process.
+
+    The axon tunnel client occasionally wedges at startup (the process
+    sits in futex_wait at ~0% CPU forever).  Were that to happen here the
+    driver would record NO benchmark for the round, so the parent
+    launches a child (`--child`), kills it if no output appears within
+    the watchdog window, and retries after a pause — printing the child's
+    one JSON line on success."""
+    import os
+    import subprocess
+    import sys
+
+    if "--child" in sys.argv:
+        run_benchmarks()
+        return
+    for attempt in range(4):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    return
+            sys.stderr.write(out.stderr[-2000:] + "\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt}: watchdog timeout "
+                             "(tunnel wedge?), retrying\n")
+        time.sleep(60)
+    print(json.dumps({
+        "metric": "ba_lm_iters_per_s", "value": 0.0,
+        "unit": "LM iters/s (200 cams, 20k pts, ~140k obs)",
+        "vs_baseline": 0.0,
+        "secondary": {"error": "all bench attempts wedged on the tunnel"},
+    }), flush=True)
 
 
 if __name__ == "__main__":
