@@ -3,19 +3,30 @@
 (reference: ErrorDetector src/geometry/error_detector.cc:5-159,
 ErrorCorrector src/geometry/error_corrector.cc:18-246)
 
-Flow per newly registered frame (reference CheckAndCorrectPose):
+Flow per newly registered frame (reference CheckAndCorrectPose; steps
+marked * are redesigned — each redesign was forced by a measured failure
+of the reference recipe on a 360-degree loop with rotational drift, see
+docs/benchmark.md):
   1. detect: for each registered pair of the frame, test whether the
      matches are consistent with the *current* relative pose estimate
      (ray-band test, >= 80% inliers = good; pure-rotation pairs skipped);
-  2. on bad pairs, TryLocate: re-register the frame against only the
-     tracks seen through the bad-matched neighbors -> a second pose
-     hypothesis;
-  3. if the hypotheses disagree (> dist_th apart or negative depths),
-     declare a loop error: run keyframe selection, build a scale pose
-     graph (covisibility edges from current poses + loop edges from the
-     two hypotheses + observed depth-ratio scale), solve, propagate
-     non-keyframes, re-emit points from ref-frame depths, merge duplicate
-     tracks across the loop, then KGBA + filter.
+  2. *TryLocate 2-VIEW (essential + cheirality + map-depth scale) against
+     the strongest bad-camp pair — PnP relocation (the reference's) falls
+     into the coplanar mirror branch on wall-dominated camps; validate
+     the hypothesis epipolarly against its own camp;
+  3. if the hypotheses disagree (gate RELATIVE to the median covisible
+     baseline), solve a *FULL-POSE scale pose graph (rotations optimized;
+     the reference holds them fixed, which cannot remove rotational
+     drift); reject the solution if its residual per edge stays high
+     (irreconcilable camps would be distorted, not corrected);
+  4. fuse duplicate tracks across the loop: keypoint-identity at the
+     junction (reference MergeTrackLoop) + *gate-free fusion through the
+     verified matches of every epipolar-inconsistent pair (the loop
+     bridges), then *batched retriangulation of every track;
+  5. *full precise GBA with a damping restart, a global merge sweep once
+     corrected geometry lets duplicates pass the reprojection gate, and
+     a second GBA (the reference runs keyframe-GBA once — measured to
+     strand the solve on an LM plateau after large corrections).
 """
 
 from __future__ import annotations
@@ -52,6 +63,11 @@ class ErrorCorrectOptions:
     # the full registration minimum (20) starves it exactly where loops
     # announce themselves first (one matched pair across the junction)
     loop_min_correspondences: int = 12
+    # A pose graph that cannot reconcile the two camps (high residual per
+    # edge after the solve) would DISTORT the map if applied — observed
+    # when a second correction fires on an already-corrected loop.
+    # Healthy solves land ~0.02 per edge; failed ones ~0.2.
+    max_graph_cost_per_edge: float = 0.08
     min_covis_engage: int = 10  # engage detection when covis obs < 10
     loop_edge_weight: float = 4.0
     covis_min_shared: int = 10
@@ -398,6 +414,12 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt, camp2: List[int],
         fixed=jnp.asarray(fixed),
     )
     q_new, t_new, _s_new, _cost = jax.device_get(PG.solve_pose_graph(prob))
+    print(f"[mapper] loop pose graph: N={N} E={len(e_i)} "
+          f"final cost {float(_cost):.4f}", flush=True)
+    if float(_cost) > opts.max_graph_cost_per_edge * len(e_i):
+        # the camps cannot be reconciled — applying this solution would
+        # distort the map; leave the poses untouched
+        return False
     q_new = np.asarray(q_new, np.float64)
     t_new = np.asarray(t_new, np.float64)
     for i, f in enumerate(keyframes):
@@ -481,6 +503,84 @@ def merge_track_loop(m: SfMMap, frame: int, assoc, camp2) -> int:
     return merged
 
 
+def fuse_inconsistent_pair_tracks(m: SfMMap,
+                                  opts: ErrorCorrectOptions) -> int:
+    """Fuse tracks bridged by the verified matches of epipolar-
+    INCONSISTENT registered pairs.
+
+    A pair whose matches were LO-RANSAC-verified at matching time but
+    whose current relative pose fails the consistency band is exactly a
+    loop bridge the incremental map failed to integrate: each side built
+    its own track for the same physical point.  The matches certify
+    point identity independently of the (drifted) poses, so the fusion
+    needs NO reprojection gate — unlike the ordinary MergeTracks sweep,
+    which can only fire after geometry is already corrected.  Union-find
+    over track ids, then one pass applying each union."""
+    todo = []
+    for pid, (id1, id2, matches) in enumerate(m.pairs):
+        if (m.registered[id1] and m.registered[id2] and len(matches) >= 8):
+            todo.append((id1, id2, matches))
+    if not todo:
+        return 0
+    stats = _pair_stats_many(m, todo, opts)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    n_ext = 0
+    for (id1, id2, matches), s in zip(todo, stats):
+        if _good_from_stats(s, opts):
+            continue
+        t1 = m.track_of[id1][matches[:, 0]]
+        t2 = m.track_of[id2][matches[:, 1]]
+        v1 = (t1 >= 0) & m.track_valid[np.clip(t1, 0, None)]
+        v2 = (t2 >= 0) & m.track_valid[np.clip(t2, 0, None)]
+        for a, b in zip(t1[v1 & v2 & (t1 != t2)], t2[v1 & v2 & (t1 != t2)]):
+            union(int(a), int(b))
+        # one side trackless (common at the fresh end of the arm, where
+        # drift blocked extension/creation): join the tracked side's
+        # track — the verified match certifies the point identity
+        for k in np.nonzero(v1 & ~v2)[0]:
+            tid, f, p = int(t1[k]), int(id2), int(matches[k, 1])
+            if f not in m.track_obs[tid] and m.track_of[f][p] < 0:
+                m.add_observation(tid, f, p)
+                n_ext += 1
+        for k in np.nonzero(v2 & ~v1)[0]:
+            tid, f, p = int(t2[k]), int(id1), int(matches[k, 0])
+            if f not in m.track_obs[tid] and m.track_of[f][p] < 0:
+                m.add_observation(tid, f, p)
+                n_ext += 1
+    if not parent:
+        return n_ext
+    groups = {}
+    for t in list(parent):
+        groups.setdefault(find(t), []).append(t)
+    merged = 0
+    for root, members in groups.items():
+        if not m.track_valid[root]:
+            continue
+        for t in members:
+            if t == root or not m.track_valid[t]:
+                continue
+            for f, p in list(m.track_obs[t].items()):
+                m.remove_observation(t, f, p)
+                if m.track_valid[root] and f not in m.track_obs[root]:
+                    m.add_observation(root, f, p)
+            if m.track_valid[t]:
+                m.delete_track(t)
+            merged += 1
+    return merged + n_ext
+
+
 def check_and_correct_pose(
     m: SfMMap,
     frame: int,
@@ -531,27 +631,60 @@ def check_and_correct_pose(
         return False
     corrected = correct_loop(m, frame, q_alt, t_alt, bad, opts)
     if corrected:
-        # merge duplicate tracks across the loop by keypoint identity,
-        # then KGBA + filter (reference: MergeTrackLoop + KGBA,
-        # error_corrector.cc:144-185,230-241) — accurate-profile
-        # iterations: the pose-graph move is a large perturbation and
-        # the fast profile leaves BA short of converged
+        from . import ba_glue
+
+        # Merge duplicate tracks across the loop by keypoint identity
+        # (reference: MergeTrackLoop, error_corrector.cc:144-185) plus
+        # gate-free fusion through the verified matches of every pair the
+        # current geometry disagrees with — the loop bridges — so BA has
+        # the cross-loop constraint votes it needs to leave the drift
+        # basin.
         n_fused = merge_track_loop(m, frame, assoc, bad)
+        n_fused += fuse_inconsistent_pair_tracks(m, opts)
         all_tracks = np.nonzero(m.track_valid[: m.num_tracks])[0]
         triangulate.retriangulate(m, all_tracks)
-        KF.kgba(m, BAOptions(max_iters=40, huber_px=4.0), tri_opts)
-        # With geometry corrected, cross-loop duplicate tracks (built
-        # independently by each camp while the loop was open) now pass
-        # the ordinary reprojection merge gate — a global sweep fuses
-        # them into the long tracks that anchor the closure permanently.
-        sweep = sorted(set(
-            [frame] + [int(f) for f in bad]
-            + [int(f) for f in m.covisible_frames(frame, min_shared=1)[0]]
-        ))
-        n_fused += triangulate.merge_all_tracks(m, sweep, tri_opts)
+        # The reference follows with keyframe GBA (KGBA,
+        # error_corrector.cc:230-241); a FULL precise GBA is used here —
+        # a loop correction is a global, ill-conditioned perturbation
+        # where the keyframe reduction and bf16 Schur products both cost
+        # convergence, and it is a rare event so the accurate profile is
+        # affordable.
+        import os as _os
+
+        if _os.environ.get("XRSFM_DUMP_CORRECTION_SNAPSHOT"):
+            from ..base import snapshot as _snap
+
+            _snap.save_snapshot(
+                m, _os.environ["XRSFM_DUMP_CORRECTION_SNAPSHOT"]
+                + f".frame{frame}.npz"
+            )
+        reg = [int(f) for f in np.nonzero(m.registered)[0]]
+        # two LM rounds: each run_ba restarts the damping at lam_init,
+        # which is what lets the solver leave the high-lambda plateau the
+        # pose-graph perturbation parks it on (a single longer run stays
+        # trapped — measured 5.3M -> 2.2M in one 60-iter round vs -> 180k
+        # with a restart)
+        for _round in range(2):
+            g1 = ba_glue.run_ba(
+                m, reg, BAOptions(max_iters=60, huber_px=4.0, precise=True)
+            )
+        if g1:
+            print(f"[mapper] post-correction GBA: {g1.initial_cost:.1f} -> "
+                  f"{g1.final_cost:.1f}", flush=True)
+        triangulate.filter_tracks(m, None, tri_opts)
+        # with geometry now corrected, remaining duplicates pass the
+        # ordinary reprojection merge gate — global sweep, then re-solve
+        n_fused += triangulate.merge_all_tracks(m, None, tri_opts)
         all_tracks = np.nonzero(m.track_valid[: m.num_tracks])[0]
         triangulate.retriangulate(m, all_tracks)
         print(f"[mapper] loop merge: {n_fused} cross-loop tracks fused",
               flush=True)
-        KF.kgba(m, BAOptions(max_iters=40, huber_px=4.0), tri_opts)
+        for _round in range(2):
+            g2 = ba_glue.run_ba(
+                m, reg, BAOptions(max_iters=60, huber_px=4.0, precise=True)
+            )
+        if g2:
+            print(f"[mapper] post-sweep GBA: {g2.initial_cost:.1f} -> "
+                  f"{g2.final_cost:.1f}", flush=True)
+        triangulate.filter_tracks(m, None, tri_opts)
     return corrected

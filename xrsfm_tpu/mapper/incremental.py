@@ -52,6 +52,7 @@ class MapperStats:
     registered: int = 0
     failed: int = 0
     tracks: int = 0
+    corrections: int = 0
     time_init: float = 0.0
     time_select: float = 0.0
     time_register: float = 0.0
@@ -132,6 +133,7 @@ class IncrementalMapper:
                     m, nxt, reg_opts=o.reg, tri_opts=o.tri
                 ):
                     self._log(f"frame {nxt}: loop error corrected")
+                    self.stats.corrections += 1
                     consistent = True
                 else:
                     consistent = EC.registration_is_consistent(m, nxt)
@@ -160,6 +162,7 @@ class IncrementalMapper:
                     m, nxt, reg_opts=o.reg, tri_opts=o.tri
                 ):
                     self._log(f"frame {nxt}: loop error corrected")
+                    self.stats.corrections += 1
                 self.stats.time_check += time.time() - t0
 
             t0 = time.time()
@@ -207,15 +210,21 @@ class IncrementalMapper:
                         f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
                     )
 
-        # final polish: GBA -> filter -> retriangulate -> GBA
+        # final polish: GBA -> filter -> merge sweep -> retriangulate -> GBA
         reg_frames = list(np.nonzero(m.registered)[0])
         if len(reg_frames) >= 2:
             t0 = time.time()
-            ba_glue.run_ba(
-                m,
-                reg_frames,
-                BAOptions(max_iters=2 * self.opts.gba_iters, huber_px=4.0),
+            # after loop corrections the polish problem is ill-conditioned:
+            # full-precision Schur products and a damping restart round
+            # (each run_ba re-inits lam) are what let LM leave the
+            # high-lambda plateau the correction parks it on
+            hard = self.stats.corrections > 0
+            polish = BAOptions(
+                max_iters=2 * self.opts.gba_iters, huber_px=4.0,
+                precise=hard,
             )
+            for _round in range(2 if hard else 1):
+                ba_glue.run_ba(m, reg_frames, polish)
             import dataclasses as _dc
 
             tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)

@@ -289,6 +289,8 @@ def merge_frame_tracks(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
     # vectorized candidate collection over the frame's CSR rows (the
     # reference walks per-keypoint, MergeTracks track_processor.cc:520)
     csr = m.corr[frame]
+    if csr is None:  # maps loaded from COLMAP bins carry no match graph
+        return 0
     counts = np.diff(csr.offsets)
     p2d_of_row = np.repeat(np.arange(len(counts)), counts)
     tid1 = m.track_of[frame][p2d_of_row]  # [E]

@@ -269,6 +269,15 @@ class BAOptions:
     lam_down: float = 0.5
     lam_max: float = 1e8
     cg_tol: float = 1e-2  # inexact Newton: loose inner solves, LM absorbs it
+    # precise=True keeps the Schur/CG products in f32 at highest matmul
+    # precision instead of the default bf16 compression.  The bf16 path
+    # is plenty for incremental-mapping solves, but on the ill-conditioned
+    # system after a loop-closure correction CG loses orthogonality in
+    # bf16 and LM stalls (measured: post-correction KGBA 5.3M -> 2.3M in
+    # bf16 vs 2.4M -> 0.18M in f32 on the same scene).  TPU matmuls also
+    # default to bf16 passes for f32 inputs, hence the explicit
+    # highest-precision scope.
+    precise: bool = False
 
 
 def _obs_residual(delta9, q, t, intri, uv, xyz):
@@ -557,7 +566,8 @@ def _chol3x3(M):
 
 
 def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
-                     lam, cg_iters, cg_tol, reduce_fn=None):
+                     lam, cg_iters, cg_tol, reduce_fn=None,
+                     compute_dtype=jnp.bfloat16):
     """ELL-layout Schur solve: points marginalized in closed form, PCG on
     the reduced camera system with scatter-free matvecs.
 
@@ -581,21 +591,22 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     Vinv = _inv3x3(Vd)
     L = _chol3x3(Vinv)  # [P,3,3]
 
+    cd = compute_dtype
     ptm = (~p.fix_pt).astype(w.dtype)
-    wm = (w * ptm[p.obs_pt]).astype(jnp.bfloat16)
-    Lg = L.astype(jnp.bfloat16)[p.obs_pt]  # [O,3,3] bf16
+    wm = (w * ptm[p.obs_pt]).astype(cd)
+    Lg = L.astype(cd)[p.obs_pt]  # [O,3,3]
     Z = (
-        jnp.einsum("orj,ojk->ork", Jp.astype(jnp.bfloat16), Lg)
+        jnp.einsum("orj,ojk->ork", Jp.astype(cd), Lg)
         * wm[:, None, None]
-    )  # [O,2,3] bf16
-    m6g = _colmask6(p).astype(jnp.bfloat16)[p.obs_cam]  # [O,6]
+    )  # [O,2,3]
+    m6g = _colmask6(p).astype(cd)[p.obs_cam]  # [O,6]
     Y = (
         jnp.einsum(
-            "ori,ork->oik", Jc.astype(jnp.bfloat16), Z,
+            "ori,ork->oik", Jc.astype(cd), Z,
             preferred_element_type=jnp.float32,
         )
         * m6g[:, :, None]
-    ).astype(jnp.bfloat16)  # [O,6,3]
+    ).astype(cd)  # [O,6,3]
 
     Rc, Mc = ell.cam.slots.shape
     Rp, Lw = ell.pt.slots.shape
@@ -606,7 +617,7 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
 
     def _ypt_reduce(x):
         """yp[p] = Σ_{o∈p} Y_oᵀ x_{cam(o)}  → [P,3]"""
-        xg = x[cam_ids].astype(jnp.bfloat16)  # [Rp,Lw,6]
+        xg = x[cam_ids].astype(cd)  # [Rp,Lw,6]
         yrow = jnp.einsum(
             "rlij,rli->rj", Ypt, xg, preferred_element_type=jnp.float32
         )
@@ -614,7 +625,7 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
 
     def _ycam_reduce(zp):
         """t[c] = Σ_{o∈c} Y_o z_{pt(o)}  → [C,6]"""
-        zg = zp[pt_ids].astype(jnp.bfloat16)  # [Rc,Mc,3]
+        zg = zp[pt_ids].astype(cd)  # [Rc,Mc,3]
         trow = jnp.einsum(
             "rmij,rmj->ri", Ycam, zg, preferred_element_type=jnp.float32
         )
@@ -761,6 +772,13 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
 
     When an EllIndex is supplied (build_ell on the host), the scatter-free
     gather-major kernels are used — same math, much less HBM pressure."""
+    import contextlib
+
+    prec_ctx = (
+        jax.default_matmul_precision("highest") if opts.precise
+        else contextlib.nullcontext()
+    )
+    compute_dtype = jnp.float32 if opts.precise else jnp.bfloat16
 
     def cost_of(prob):
         r, z = _residuals_only(prob)
@@ -780,6 +798,7 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
             dx_c, dx_p = _schur_solve_ell(
                 prob, ell, U, V, bc, bp, Jc, Jp, w, lam,
                 opts.cg_iters, opts.cg_tol,
+                compute_dtype=compute_dtype,
             )
         else:
             U, V, W, bc, bp = _build_normal_blocks(prob, r, Jc, Jp, w)
@@ -796,12 +815,20 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
         lam2 = jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up)
         lam2 = jnp.clip(lam2, 1e-10, opts.lam_max)
         rel = jnp.abs(cost - cost2) / jnp.maximum(cost, 1e-12)
-        done2 = accept & (rel < 1e-6)
+        # early-stop only when damping is back near nominal: a tiny
+        # accepted step at HIGH lam is an LM plateau (trust region shrunk
+        # after rejections), not convergence — stopping there froze
+        # post-loop-correction solves at 10x their reachable cost, with
+        # escape decided by reduction-order rounding luck
+        done2 = accept & (rel < 1e-6) & (lam <= 10.0 * opts.lam_init)
         return it + 1, prob, lam2, cost2, done2
 
-    c0 = cost_of(p)
-    it, p_out, lam, c_final, _ = jax.lax.while_loop(
-        lm_cond, lm_body, (0, p, jnp.asarray(opts.lam_init, p.cam_q.dtype), c0, jnp.asarray(False))
-    )
+    with prec_ctx:
+        c0 = cost_of(p)
+        it, p_out, lam, c_final, _ = jax.lax.while_loop(
+            lm_cond, lm_body,
+            (0, p, jnp.asarray(opts.lam_init, p.cam_q.dtype), c0,
+             jnp.asarray(False)),
+        )
     info = dict(initial_cost=c0, final_cost=c_final, iters=it, lam=lam)
     return p_out, info
