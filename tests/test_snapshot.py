@@ -35,3 +35,51 @@ def test_snapshot_roundtrip_and_resume(tmp_path):
     # a resumed map should be usable by the mapper queries
     p2d, tids = m2.search_correspondences(0)
     assert len(p2d) > 0
+
+
+def test_midrun_checkpoint_then_resume(tmp_path):
+    """Bounded run + snapshot, then restore_into a fresh map and finish:
+    the resumed reconstruction must register every frame and skip
+    re-initialization."""
+    from xrsfm_tpu.base.snapshot import restore_into
+
+    s = make_scene(n_cams=6, n_pts=150, seed=20, noise=0.0)
+    path = str(tmp_path / "mid.npz")
+
+    m1 = build_map_from_scene(s)
+    opts = MapperOptions(verbose=False, snapshot_every=1,
+                         snapshot_path=path, max_registrations=2)
+    ok = IncrementalMapper(opts).reconstruct(m1)
+    assert ok
+    n1 = int(np.count_nonzero(m1.registered))
+    assert 3 <= n1 < 6  # init pair + 2 registrations, stopped early
+
+    m2 = build_map_from_scene(s)
+    restore_into(m2, path)
+    assert int(np.count_nonzero(m2.registered)) >= 3
+    log = []
+
+    class _Mapper(IncrementalMapper):
+        def _log(self, msg):
+            log.append(msg)
+
+    ok = _Mapper(MapperOptions(verbose=False)).reconstruct(m2)
+    assert ok
+    assert int(np.count_nonzero(m2.registered)) == 6
+    assert any("resuming" in msg for msg in log), log
+
+
+def test_restore_into_rejects_other_dataset(tmp_path):
+    import pytest
+
+    from xrsfm_tpu.base.snapshot import restore_into
+
+    s = make_scene(n_cams=6, n_pts=150, seed=20, noise=0.0)
+    m = build_map_from_scene(s)
+    ok = IncrementalMapper(MapperOptions(verbose=False)).reconstruct(m)
+    assert ok
+    path = str(tmp_path / "snap.npz")
+    save_snapshot(m, path)
+    other = build_map_from_scene(make_scene(n_cams=5, n_pts=100, seed=3))
+    with pytest.raises(ValueError):
+        restore_into(other, path)

@@ -57,19 +57,9 @@ def save_snapshot(m: SfMMap, path: str):
     )
 
 
-def load_snapshot(path: str) -> SfMMap:
-    z = np.load(path)
-    meta = json.loads(bytes(z["meta"]).decode())
-    m = SfMMap()
-    for k, v in meta["cameras"].items():
-        m.add_camera(int(k), v["model_id"], v["params"], v["width"], v["height"])
-    counts = z["kp_counts"]
-    kps_flat = z["kps"]
-    off = 0
-    for i, name in enumerate(meta["names"]):
-        n = int(counts[i])
-        m.add_frame(name, int(z["cam_of_frame"][i]), kps_flat[off : off + n])
-        off += n
+def _overlay_state(m: SfMMap, z, meta):
+    """Write a snapshot's mapper state (poses, flags, tracks, obs) into
+    a map whose frames/cameras already exist."""
     m.registered = z["registered"].copy()
     m.registered_fail = z["registered_fail"].copy()
     m.q = z["q"].copy()
@@ -84,8 +74,43 @@ def load_snapshot(path: str) -> SfMMap:
     m.track_error[:nt] = z["track_error"]
     m.track_angle[:nt] = z["track_angle"]
     m.track_obs = [dict() for _ in range(nt)]
+    for f in range(m.num_frames):
+        m.track_of[f][:] = -1
     for tid, f, p in z["obs"]:
         m.track_obs[int(tid)][int(f)] = int(p)
         m.track_of[int(f)][int(p)] = int(tid)
         m._obs_append(int(tid), int(f), int(p))
+    m.rebuild_visibility_counters()
+
+
+def load_snapshot(path: str) -> SfMMap:
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    m = SfMMap()
+    for k, v in meta["cameras"].items():
+        m.add_camera(int(k), v["model_id"], v["params"], v["width"], v["height"])
+    counts = z["kp_counts"]
+    kps_flat = z["kps"]
+    off = 0
+    for i, name in enumerate(meta["names"]):
+        n = int(counts[i])
+        m.add_frame(name, int(z["cam_of_frame"][i]), kps_flat[off : off + n])
+        off += n
+    _overlay_state(m, z, meta)
+    return m
+
+
+def restore_into(m: SfMMap, path: str):
+    """Resume: overlay a snapshot's mapper state onto a freshly BUILT map
+    (build_map carries the pairs + correspondence graph, which snapshots
+    deliberately do not duplicate — the matching-stage bins are already
+    the stage-level checkpoint, SURVEY.md §5.4)."""
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    if list(meta["names"]) != list(m.names):
+        raise ValueError(
+            "snapshot frame names do not match the workspace; refusing to "
+            "resume from a different dataset"
+        )
+    _overlay_state(m, z, meta)
     return m

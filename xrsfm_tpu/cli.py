@@ -51,6 +51,11 @@ def main(argv=None):
                    help="enable drift/loop error correction "
                         "(reference hardcodes this off here and on for "
                         "rec_kitti; exposed as a flag)")
+    p.add_argument("--snapshot_every", type=int, default=0,
+                   help="checkpoint the mapper state to "
+                        "<output_dir>/snapshot.npz every N registrations")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <output_dir>/snapshot.npz if present")
 
     p = add("run_triangulation", "triangulate with known poses")
     p.add_argument("bin_dir", nargs="?")
@@ -107,7 +112,8 @@ def _dispatch(args):
 
         R.main(args.bin_dir, args.camera_txt, args.output_dir,
                args.init_id1, args.init_id2,
-               correct_pose=args.correct_pose)
+               correct_pose=args.correct_pose,
+               snapshot_every=args.snapshot_every, resume=args.resume)
     elif args.cmd == "run_triangulation":
         from .pipelines import run_triangulation as T
 

@@ -45,6 +45,13 @@ class MapperOptions:
     init_id1: int = -1
     init_id2: int = -1
     verbose: bool = True
+    # mid-run checkpointing (base/snapshot.py): save the full mapper
+    # state every N successful registrations; 0 disables
+    snapshot_every: int = 0
+    snapshot_path: str = ""
+    # stop after N successful registrations (0 = unlimited) — bounded
+    # incremental runs for testing and staged pipelines
+    max_registrations: int = 0
 
 
 @dataclasses.dataclass
@@ -79,23 +86,28 @@ class IncrementalMapper:
     def reconstruct(self, m: SfMMap) -> bool:
         o = self.opts
         t_start = time.time()
-        if not initialize.find_and_initialize(
-            m, o.init, o.init_id1, o.init_id2
-        ):
-            self._log("initialization failed")
-            return False
-        self._log(
-            f"initialized with pair ({m.init_id1}, {m.init_id2}), "
-            f"{m.num_tracks} tracks"
-        )
-        ba_glue.run_ba(
-            m,
-            [m.init_id1, m.init_id2],
-            BAOptions(max_iters=o.gba_iters, huber_px=4.0),
-        )
+        n_reg0 = int(np.count_nonzero(m.registered))
+        if m.init_id1 >= 0 and n_reg0 >= 2:
+            # resumed from a snapshot: the map is already initialized
+            self._log(f"resuming with {n_reg0} registered frames")
+        else:
+            if not initialize.find_and_initialize(
+                m, o.init, o.init_id1, o.init_id2
+            ):
+                self._log("initialization failed")
+                return False
+            self._log(
+                f"initialized with pair ({m.init_id1}, {m.init_id2}), "
+                f"{m.num_tracks} tracks"
+            )
+            ba_glue.run_ba(
+                m,
+                [m.init_id1, m.init_id2],
+                BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+            )
         self.stats.time_init = time.time() - t_start
 
-        num_reg_at_gba = 2
+        num_reg_at_gba = max(2, n_reg0)
         while True:
             t0 = time.time()
             nxt = m.next_frame_to_register(o.min_visible)
@@ -210,6 +222,18 @@ class IncrementalMapper:
                         f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
                     )
 
+            if (o.snapshot_every and o.snapshot_path
+                    and self.stats.registered % o.snapshot_every == 0):
+                from ..base import snapshot as SNAP
+
+                SNAP.save_snapshot(m, o.snapshot_path)
+            if o.max_registrations and self.stats.registered >= o.max_registrations:
+                self._log(
+                    f"stopping after {self.stats.registered} registrations "
+                    f"(max_registrations)"
+                )
+                break
+
         # final polish: GBA -> filter -> merge sweep -> retriangulate -> GBA
         reg_frames = list(np.nonzero(m.registered)[0])
         if len(reg_frames) >= 2:
@@ -250,7 +274,7 @@ class IncrementalMapper:
             + s.time_check + s.time_merge + s.time_lba + s.time_gba
         )
         self._log(
-            f"done: {s.registered + 2} registered, "
+            f"done: {int(np.count_nonzero(m.registered))} registered, "
             f"{s.tracks} tracks, {s.time_total:.1f}s "
             f"(init {s.time_init:.1f} sel {s.time_select:.1f} "
             f"reg {s.time_register:.1f} con {s.time_consistency:.1f} "

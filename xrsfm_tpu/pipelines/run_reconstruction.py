@@ -64,6 +64,8 @@ def main(
     init_id2: int = -1,
     opts: Optional[MapperOptions] = None,
     correct_pose: bool = False,
+    snapshot_every: int = 0,
+    resume: bool = False,
 ):
     t0 = time.time()
     m = build_map(bin_dir, camera_txt)
@@ -71,6 +73,19 @@ def main(
     opts.init_id1 = init_id1
     opts.init_id2 = init_id2
     opts.correct_pose = opts.correct_pose or correct_pose
+    snap_path = os.path.join(output_dir, "snapshot.npz")
+    if snapshot_every:
+        opts.snapshot_every = snapshot_every
+        opts.snapshot_path = snap_path
+    if resume and os.path.exists(snap_path):
+        from ..base import snapshot as SNAP
+
+        SNAP.restore_into(m, snap_path)
+        print(
+            f"[reconstruction] resumed from {snap_path} "
+            f"({int(np.count_nonzero(m.registered))} frames registered)",
+            flush=True,
+        )
     mapper = IncrementalMapper(opts)
     ok = mapper.reconstruct(m)
     if not ok:
