@@ -97,3 +97,64 @@ def test_batched_stats_match_single():
         single = EC._pair_stats_many(m, [(id1, id2, mt)], opts)[0]
         np.testing.assert_allclose(row[:2], single[:2])  # good/total counts
         np.testing.assert_allclose(row[2], single[2], rtol=1e-5)
+
+
+def test_check_and_correct_recovers_drifted_chain():
+    """End-to-end plumbing of the correction path (detect -> 2-view
+    relocate -> full-pose graph -> fusion -> precise GBA): corrupt the
+    newest two frames with a shared rigid drift (consistent between
+    themselves, inconsistent with everyone else) and require the
+    machinery to pull them back."""
+    from xrsfm_tpu.mapper.register import RegisterOptions
+    from xrsfm_tpu.mapper.triangulate import TriOptions
+    from xrsfm_tpu.utils import geometry as G
+
+    m = _reconstructed_map()
+    q_true = m.q.copy()
+    t_true = m.t.copy()
+    # rigid world-side drift D applied to frames 4 and 5: R -> R D^T,
+    # centers move by (D c + off) - c
+    ang = np.deg2rad(18.0)
+    D = np.asarray(G.quat_to_rotmat_np(
+        np.array([np.cos(ang / 2), 0.0, np.sin(ang / 2), 0.0])
+    ))
+    off = np.array([2.2, 0.0, 0.0])
+    for f in (4, 5):
+        R = G.quat_to_rotmat_np(m.q[f])
+        c = -R.T @ m.t[f]
+        Rd = R @ D.T
+        cd = D @ c + off
+        m.q[f] = G.rotmat_to_quat_np(Rd)
+        m.t[f] = -Rd @ cd
+
+    # the synthetic map is fully covisible, so detection's weak-link
+    # heuristic (reference: <10 covisible obs) would skip every pair;
+    # engage all of them to exercise the path
+    corrected = EC.check_and_correct_pose(
+        m, 5, opts=EC.ErrorCorrectOptions(min_covis_engage=10**9),
+        reg_opts=RegisterOptions(), tri_opts=TriOptions(),
+    )
+    assert corrected
+
+    def rot_err_deg(f):
+        d = abs(float(np.dot(
+            m.q[f] / np.linalg.norm(m.q[f]),
+            q_true[f] / np.linalg.norm(q_true[f]),
+        )))
+        return np.rad2deg(2 * np.arccos(min(d, 1.0)))
+
+    errs = [rot_err_deg(f) for f in range(m.num_frames)]
+    assert max(errs) < 4.0, errs
+    # centers compared after sim3 alignment — the correction + GBAs may
+    # legitimately move the map's gauge
+    from xrsfm_tpu.ops.umeyama import ate_rmse
+
+    c_est = np.stack([
+        -G.quat_to_rotmat_np(m.q[f]).T @ m.t[f] for f in range(m.num_frames)
+    ])
+    c_true = np.stack([
+        -G.quat_to_rotmat_np(q_true[f]).T @ t_true[f]
+        for f in range(m.num_frames)
+    ])
+    rmse = ate_rmse(c_est, c_true)
+    assert rmse < 0.15, rmse

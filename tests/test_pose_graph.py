@@ -71,7 +71,7 @@ def test_pose_graph_recovers_scale_drift():
         e_w=jnp.asarray(np.concatenate([e_w, lw])),
         fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
     )
-    q_new, t_new, s_new, cost = PG.solve_pose_graph(prob, iters=40)
+    q_new, t_new, s_new, cost, cost0 = PG.solve_pose_graph(prob, iters=40)
     # centers should be closer to GT than the drifted start
     t_new = np.asarray(t_new)
     def centers(q, t):
@@ -96,7 +96,7 @@ def test_pose_graph_consistent_is_fixed_point():
         e_logs=jnp.asarray(e_ls), e_w=jnp.asarray(e_w),
         fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
     )
-    q_new, t_new, s_new, cost = PG.solve_pose_graph(prob, iters=10)
+    q_new, t_new, s_new, cost, cost0 = PG.solve_pose_graph(prob, iters=10)
     np.testing.assert_allclose(np.asarray(t_new), t_gt, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s_new), 1.0, atol=1e-3)
     np.testing.assert_allclose(
@@ -152,7 +152,7 @@ def test_pose_graph_recovers_rotation_drift():
         e_w=jnp.asarray(np.concatenate([e_w, lw])),
         fixed=jnp.asarray(np.eye(1, n, 0, dtype=bool)[0]),
     )
-    q_new, t_new, s_new, cost = PG.solve_pose_graph(prob, iters=40)
+    q_new, t_new, s_new, cost, cost0 = PG.solve_pose_graph(prob, iters=40)
     q_new = np.asarray(q_new)
 
     def rot_err_deg(qa, qb):

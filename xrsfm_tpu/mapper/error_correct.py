@@ -63,10 +63,11 @@ class ErrorCorrectOptions:
     # the full registration minimum (20) starves it exactly where loops
     # announce themselves first (one matched pair across the junction)
     loop_min_correspondences: int = 12
-    # A pose graph that cannot reconcile the two camps (high residual per
-    # edge after the solve) would DISTORT the map if applied — observed
-    # when a second correction fires on an already-corrected loop.
-    # Healthy solves land ~0.02 per edge; failed ones ~0.2.
+    # The pose-graph solve must strongly reduce the initial loop-edge
+    # cost (ratio gate — a per-edge budget would penalize short chains,
+    # whose correctly-spread closure discrepancy scales like 1/k per
+    # edge) or land at a small absolute per-edge residual.
+    max_graph_cost_ratio: float = 0.35
     max_graph_cost_per_edge: float = 0.08
     min_covis_engage: int = 10  # engage detection when covis obs < 10
     loop_edge_weight: float = 4.0
@@ -413,10 +414,13 @@ def correct_loop(m: SfMMap, frame: int, q_alt, t_alt, camp2: List[int],
         e_w=jnp.asarray(e_w),
         fixed=jnp.asarray(fixed),
     )
-    q_new, t_new, _s_new, _cost = jax.device_get(PG.solve_pose_graph(prob))
+    q_new, t_new, _s_new, _cost, _cost0 = jax.device_get(
+        PG.solve_pose_graph(prob)
+    )
     print(f"[mapper] loop pose graph: N={N} E={len(e_i)} "
-          f"final cost {float(_cost):.4f}", flush=True)
-    if float(_cost) > opts.max_graph_cost_per_edge * len(e_i):
+          f"cost {float(_cost0):.4f} -> {float(_cost):.4f}", flush=True)
+    if (float(_cost) > opts.max_graph_cost_ratio * max(float(_cost0), 1e-12)
+            and float(_cost) > opts.max_graph_cost_per_edge * len(e_i)):
         # the camps cannot be reconciled — applying this solution would
         # distort the map; leave the poses untouched
         return False
@@ -593,6 +597,22 @@ def check_and_correct_pose(
     bad = check_all_relative_pose(m, frame, opts)
     if not bad:
         return False
+    # Structural-loop test: a genuine loop error lives in the MAP — some
+    # registered pair NOT involving this frame is itself epipolar-
+    # inconsistent (the two camps disagree with each other, not merely
+    # with the new frame's PnP pose).  If every such pair is consistent,
+    # the problem is this frame's own registration; correcting the map
+    # would distort it (observed: a second "correction" firing on an
+    # already-closed loop) — let the reject/retry path handle the frame.
+    others = [
+        (a, b, mt) for a, b, mt in m.pairs
+        if a != frame and b != frame and len(mt) >= 8
+        and m.registered[a] and m.registered[b]
+    ]
+    if others:
+        stats = _pair_stats_many(m, others, opts)
+        if all(_good_from_stats(s, opts) for s in stats):
+            return False
     alt = try_locate(m, frame, bad, reg_opts,
                      min_corr=opts.loop_min_correspondences)
     if alt is None:

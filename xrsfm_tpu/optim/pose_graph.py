@@ -98,7 +98,7 @@ def solve_pose_graph(
     rot_weight: float = 2.0,
 ):
     """LM over (w, t, log_s), w a right-multiplied so(3) update of q.
-    Returns (q [N,4], t [N,3], s [N], final_cost)."""
+    Returns (q [N,4], t [N,3], s [N], final_cost, initial_cost)."""
     N = p.t.shape[0]
     D = 7
 
@@ -148,7 +148,7 @@ def solve_pose_graph(
         lm_body, (x0, jnp.asarray(1e-4, x0.dtype), c0), None, length=iters
     )
     q, t, log_s = unpack(x)
-    return q, t, jnp.exp(log_s), cost
+    return q, t, jnp.exp(log_s), cost, c0
 
 
 def build_edges_from_poses(q, t, pairs, weights=None):
