@@ -41,6 +41,13 @@ def main(argv=None):
                    choices=["sequential", "retrieval", "covisibility"])
     p.add_argument("output_dir", nargs="?")
 
+    p = add("retrieve", "build retrieval.txt from images (VLAD; new "
+                        "capability — the reference needs an external tool)")
+    p.add_argument("images_dir", nargs="?")
+    p.add_argument("output_dir", nargs="?")
+    p.add_argument("--topk", type=int, default=25)
+    p.add_argument("--num_words", type=int, default=64)
+
     p = add("run_reconstruction", "incremental reconstruction")
     p.add_argument("bin_dir", nargs="?")
     p.add_argument("camera_txt", nargs="?")
@@ -107,6 +114,10 @@ def _dispatch(args):
 
         M.main(args.images_dir, args.retrieval_path, args.matching_type,
                args.output_dir)
+    elif args.cmd == "retrieve":
+        from .pipelines import retrieve as RV
+
+        RV.main(args.images_dir, args.output_dir, args.topk, args.num_words)
     elif args.cmd == "run_reconstruction":
         from .pipelines import run_reconstruction as R
 

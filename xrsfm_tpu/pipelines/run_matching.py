@@ -97,6 +97,26 @@ def main(
     id2rank = {}
     if retrieval_path and os.path.exists(retrieval_path):
         id2rank = IOF.load_retrieval_rank(retrieval_path, name_to_id)
+    elif matching_type in ("retrieval", "covisibility"):
+        # self-contained retrieval: the reference requires an externally
+        # produced retrieval.txt here (run_matching.cc:193-207); we build
+        # the ranks ourselves from the just-extracted descriptors
+        # (feature/retrieval.py: VLAD + one MXU similarity matmul) and
+        # cache them in the reference's text format.
+        from ..feature import retrieval as RET
+
+        cache = os.path.join(output_dir, "retrieval.txt")
+        if os.path.exists(cache):
+            id2rank = IOF.load_retrieval_rank(cache, name_to_id)
+        else:
+            t_r = time.time()
+            ranks, _ = RET.build_retrieval(
+                [f.descriptors for f in feats], topk=opts.retrieval_topk
+            )
+            RET.write_retrieval_text(cache, image_names, ranks)
+            id2rank = RET.ranks_to_id2rank(ranks)
+            print(f"[retrieval] built in {time.time() - t_r:.1f}s -> {cache}",
+                  flush=True)
 
     t0 = time.time()
     if matching_type == "sequential":

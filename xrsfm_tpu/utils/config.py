@@ -31,6 +31,12 @@ _KEY_ALIASES: Dict[str, Dict[str, List[str]]] = {
         "matching_type": ["matching_type"],
         "output_dir": ["output_dir", "output_path"],
     },
+    "retrieve": {
+        "images_dir": ["images_dir", "images_path", "image_dir_path"],
+        "output_dir": ["output_dir", "output_path"],
+        "topk": ["topk", "retrieval_topk"],
+        "num_words": ["num_words"],
+    },
     "run_reconstruction": {
         "bin_dir": ["bin_dir", "bin_path"],
         "camera_txt": ["camera_txt", "camera_path"],
