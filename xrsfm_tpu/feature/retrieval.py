@@ -124,10 +124,16 @@ def train_vocabulary(
 
 @jax.jit
 def _vlad_batch(descs, valid, vocab):
-    """descs [B,N,128] f32, valid [B,N] f32, vocab [K,128] → [B, K*128].
+    """descs [B,N,128] f32, valid [B,N] f32, vocab [K,128] → [B, K*129].
 
     Hard-assignment VLAD with intra-normalization (per-word L2), SSR, and
-    global L2 — the standard all-about-VLAD recipe, all matmuls."""
+    global L2 — the standard all-about-VLAD recipe, all matmuls — plus a
+    sqrt-BoW occupancy block appended.  The occupancy block matters when
+    the vocabulary is trained on the indexed images themselves (the
+    self-contained pipeline here): residuals then collapse toward i.i.d.
+    noise and intra-normalization turns them into near-orthogonal unit
+    vectors, so WHICH words an image occupies — not the residual
+    direction — carries the scene identity."""
     K = vocab.shape[0]
     d2 = jnp.sum(vocab * vocab, axis=1)[None, None, :] - 2.0 * jnp.einsum(
         "bnd,kd->bnk", descs, vocab
@@ -143,7 +149,14 @@ def _vlad_batch(descs, valid, vocab):
     v = v.reshape(v.shape[0], -1)
     v = jnp.sign(v) * jnp.sqrt(jnp.abs(v))  # signed square root
     v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
-    return v
+    # sqrt-BoW occupancy histogram (tf power-law), unit-normalized
+    bow = jnp.sqrt(counts)
+    bow = bow / (jnp.linalg.norm(bow, axis=1, keepdims=True) + 1e-12)
+    # equal-weight concat of the two unit blocks, renormalized to unit
+    out = jnp.concatenate([v, bow], axis=1) / jnp.sqrt(2.0)
+    # images with no descriptors stay exactly zero
+    any_valid = jnp.any(valid > 0, axis=1)[:, None]
+    return jnp.where(any_valid, out, 0.0)
 
 
 def encode_vlad(
@@ -155,10 +168,11 @@ def encode_vlad(
 
     Host driver: pads descriptor counts to a shared power-of-two bucket
     per chunk (keeps the jit cache small) and batches images.  Returns
-    [F, K*128] float32 (zero rows for images with no descriptors)."""
+    [F, K*129] float32 (VLAD + sqrt-BoW occupancy; zero rows for images
+    with no descriptors)."""
     F = len(desc_sets)
     K = vocab.shape[0]
-    out = np.zeros((F, K * 128), np.float32)
+    out = np.zeros((F, K * 129), np.float32)
     vocab_j = jnp.asarray(vocab)
     order = np.argsort([len(d) for d in desc_sets], kind="stable")
     for s in range(0, F, batch_size):
