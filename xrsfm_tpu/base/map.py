@@ -36,10 +36,29 @@ class CorrCSR:
     offsets: np.ndarray  # [Ni + 1] int64
     other_frame: np.ndarray  # [E] int32
     other_p2d: np.ndarray  # [E] int32
+    # global keypoint index kp_off[other_frame] + other_p2d, filled in by
+    # SfMMap._finalize_layout so counter updates are single scatter-adds
+    other_gkp: Optional[np.ndarray] = None  # [E] int64
 
     def of(self, p2d: int) -> Tuple[np.ndarray, np.ndarray]:
         s, e = self.offsets[p2d], self.offsets[p2d + 1]
         return self.other_frame[s:e], self.other_p2d[s:e]
+
+    def slots_of(self, p2ds: np.ndarray) -> np.ndarray:
+        """Concatenated CSR row ranges for many keypoints, vectorized
+        (no per-keypoint Python loop).  Returns flat indices into
+        other_frame/other_p2d/other_gkp."""
+        starts = self.offsets[p2ds]
+        lens = self.offsets[p2ds + 1] - starts
+        tot = int(lens.sum())
+        if tot == 0:
+            return np.zeros(0, np.int64)
+        row_starts = np.cumsum(lens) - lens
+        return (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(row_starts, lens)
+            + np.repeat(starts, lens)
+        )
 
 
 class SfMMap:
@@ -86,6 +105,13 @@ class SfMMap:
         # init pair bookkeeping (gauge fixing in BA)
         self.init_id1 = -1
         self.init_id2 = -1
+        # flat-layout acceleration structures (built by _finalize_layout
+        # once the frame set is complete; None until then)
+        self._kp_off: Optional[np.ndarray] = None  # [F+1] int64
+        self._cnt_flat: Optional[np.ndarray] = None  # [T] int32
+        self._track_of_flat: Optional[np.ndarray] = None  # [T] int64
+        self._vis_cnt: Optional[np.ndarray] = None  # [F] int64 cached
+        self._vis_dirty: Optional[np.ndarray] = None  # [F] bool
 
     # ------------------------------------------------------------------
     # construction
@@ -115,6 +141,7 @@ class SfMMap:
         self.corr.append(None)
         self.p3d_corr_cnt.append(np.zeros(len(kp), np.int32))
         self.frame_pairs_of.append([])
+        self._kp_off = None  # invalidate flat layout until next finalize
         return len(self.names) - 1
 
     def _normalize(self, cam_id: int, kp: np.ndarray) -> np.ndarray:
@@ -178,6 +205,63 @@ class SfMMap:
                     other_frame=np.zeros(0, np.int32),
                     other_p2d=np.zeros(0, np.int32),
                 )
+        self._finalize_layout()
+
+    def _finalize_layout(self):
+        """Build the flat global-keypoint layout that turns every
+        visibility-counter update into one vectorized scatter-add.
+
+        Layout: keypoint (f, p) gets global index _kp_off[f] + p;
+        track_of / p3d_corr_cnt become views into flat arrays (element
+        writes go through views transparently); each CSR gets other_gkp.
+        Called by build_correspondence_graph; re-call after adding frames
+        (add_frame invalidates)."""
+        F = self.num_frames
+        kp_off = np.zeros(F + 1, np.int64)
+        np.cumsum([len(k) for k in self.kps], out=kp_off[1:])
+        self._kp_off = kp_off
+        self._track_of_flat = (
+            np.concatenate(self.track_of)
+            if F
+            else np.zeros(0, np.int64)
+        )
+        self._cnt_flat = (
+            np.concatenate(self.p3d_corr_cnt)
+            if F
+            else np.zeros(0, np.int32)
+        )
+        self.track_of = [
+            self._track_of_flat[kp_off[f]: kp_off[f + 1]] for f in range(F)
+        ]
+        self.p3d_corr_cnt = [
+            self._cnt_flat[kp_off[f]: kp_off[f + 1]] for f in range(F)
+        ]
+        for f in range(F):
+            c = self.corr[f]
+            if c is not None and c.other_gkp is None:
+                c.other_gkp = kp_off[c.other_frame] + c.other_p2d
+        self._vis_cnt = np.array(
+            [int(np.count_nonzero(self.p3d_corr_cnt[f] > 0)) for f in range(F)],
+            np.int64,
+        )
+        self._vis_dirty = np.zeros(F, bool)
+
+    def _bump_counters(self, frame: int, p2ds: np.ndarray, delta: int):
+        """Vectorized p3d_corr_cnt update over the correspondences of
+        (frame, p2ds): one scatter-add, dirty-mark touched frames."""
+        csr = self.corr[frame]
+        if csr is None or len(csr.other_frame) == 0:
+            return
+        sl = csr.slots_of(np.asarray(p2ds, np.int64).reshape(-1))
+        if len(sl) == 0:
+            return
+        if self._kp_off is not None and csr.other_gkp is not None:
+            np.add.at(self._cnt_flat, csr.other_gkp[sl], delta)
+            self._vis_dirty[csr.other_frame[sl]] = True
+        else:  # pre-finalize fallback (e.g. maps built without corr graph)
+            of, op = csr.other_frame[sl], csr.other_p2d[sl]
+            for f2, pp in zip(of, op):
+                self.p3d_corr_cnt[f2][pp] += delta
 
     # ------------------------------------------------------------------
     # track pool
@@ -241,9 +325,28 @@ class SfMMap:
         self.track_obs[tid][frame] = p2d
         self.track_of[frame][p2d] = tid
         self._obs_append(tid, frame, p2d)
-        of, op = self._corrs(frame, p2d)
-        for f2, pp in zip(of, op):
-            self.p3d_corr_cnt[f2][pp] += 1
+        self._bump_counters(frame, np.array([p2d]), +1)
+
+    def add_observations(self, tids, frame: int, p2ds):
+        """Batch add_observation for many keypoints of ONE frame — the
+        common shape in registration/triangulation.  Counter updates are
+        one scatter-add for the whole batch."""
+        tids = np.asarray(tids, np.int64).reshape(-1)
+        p2ds = np.asarray(p2ds, np.int64).reshape(-1)
+        fresh = []
+        for tid, p2d in zip(tids, p2ds):
+            tid, p2d = int(tid), int(p2d)
+            old = self.track_of[frame][p2d]
+            if old == tid:
+                continue
+            if old >= 0:
+                self.remove_observation(int(old), frame, p2d)
+            self.track_obs[tid][frame] = p2d
+            self.track_of[frame][p2d] = tid
+            self._obs_append(tid, frame, p2d)
+            fresh.append(p2d)
+        if fresh:
+            self._bump_counters(frame, np.asarray(fresh, np.int64), +1)
 
     def remove_observation(self, tid: int, frame: int, p2d: int):
         if self.track_obs[tid].get(frame) != p2d:
@@ -253,9 +356,7 @@ class SfMMap:
         slot = self._obs_slot.pop((tid, frame), None)
         if slot is not None:
             self.obs_track[slot] = -1  # tombstone
-        of, op = self._corrs(frame, p2d)
-        for f2, pp in zip(of, op):
-            self.p3d_corr_cnt[f2][pp] -= 1
+        self._bump_counters(frame, np.array([p2d]), -1)
         if len(self.track_obs[tid]) < 2 and self.track_valid[tid]:
             # a 1-observation track is not a track
             self.delete_track(tid)
@@ -270,9 +371,7 @@ class SfMMap:
             slot = self._obs_slot.pop((tid, frame), None)
             if slot is not None:
                 self.obs_track[slot] = -1
-            of, op = self._corrs(frame, p2d)
-            for f2, pp in zip(of, op):
-                self.p3d_corr_cnt[f2][pp] -= 1
+            self._bump_counters(frame, np.array([p2d]), -1)
 
     # ------------------------------------------------------------------
     # queries used by the incremental loop
@@ -280,34 +379,65 @@ class SfMMap:
 
     def rebuild_visibility_counters(self):
         """Recompute p3d_corr_cnt from scratch (after snapshot resume:
-        load pairs + build_correspondence_graph first, then this)."""
-        for f in range(self.num_frames):
-            self.p3d_corr_cnt[f][:] = 0
-        for tid in range(self.num_tracks):
-            if not self.track_valid[tid]:
-                continue
-            for f, p2d in self.track_obs[tid].items():
-                of, op = self._corrs(f, p2d)
-                for f2, pp in zip(of, op):
-                    self.p3d_corr_cnt[f2][pp] += 1
+        load pairs + build_correspondence_graph first, then this).
+        Vectorized: group live observations by frame, scatter-add each
+        frame's concatenated correspondence slices."""
+        if self._kp_off is None:
+            self._finalize_layout()
+        self._cnt_flat[:] = 0
+        n = self.num_obs_slots
+        live = self.obs_track[:n] >= 0
+        if np.any(live):
+            frames = self.obs_frame[:n][live]
+            p2ds = self.obs_p2d[:n][live]
+            order = np.argsort(frames, kind="stable")
+            frames, p2ds = frames[order], p2ds[order]
+            bounds = np.nonzero(np.diff(frames))[0] + 1
+            for chunk_f, chunk_p in zip(
+                np.split(frames, bounds), np.split(p2ds, bounds)
+            ):
+                csr = self.corr[int(chunk_f[0])]
+                if csr is None or csr.other_gkp is None:
+                    continue
+                sl = csr.slots_of(chunk_p.astype(np.int64))
+                if len(sl):
+                    np.add.at(self._cnt_flat, csr.other_gkp[sl], 1)
+        self._vis_dirty[:] = True
+
+    def _refresh_vis(self):
+        """Recount cached visible-track counts for dirty frames only."""
+        dirty = np.nonzero(self._vis_dirty)[0]
+        for f in dirty:
+            s, e = self._kp_off[f], self._kp_off[f + 1]
+            self._vis_cnt[f] = int(np.count_nonzero(self._cnt_flat[s:e] > 0))
+        self._vis_dirty[dirty] = False
 
     def visible_track_count(self, frame: int) -> int:
         """Number of keypoints of `frame` whose correspondences reach >= 1
         live track (reference: Frame::num_visible_points3D analog)."""
-        return int(np.count_nonzero(self.p3d_corr_cnt[frame] > 0))
+        if self._kp_off is None:
+            return int(np.count_nonzero(self.p3d_corr_cnt[frame] > 0))
+        if self._vis_dirty[frame]:
+            s, e = self._kp_off[frame], self._kp_off[frame + 1]
+            self._vis_cnt[frame] = int(
+                np.count_nonzero(self._cnt_flat[s:e] > 0)
+            )
+            self._vis_dirty[frame] = False
+        return int(self._vis_cnt[frame])
 
     def next_frame_to_register(self, min_visible: int = 20) -> int:
         """Unregistered frame seeing the most tracks (reference:
         Map::MaxPoint3dFrameId, src/base/map.cc:129-205).  Returns -1 when
         none qualifies."""
-        best, best_cnt = -1, min_visible - 1
-        for f in range(self.num_frames):
-            if self.registered[f] or self.registered_fail[f]:
-                continue
-            c = self.visible_track_count(f)
-            if c > best_cnt:
-                best, best_cnt = f, c
-        return best
+        if self._kp_off is None:
+            self._finalize_layout()
+        self._refresh_vis()
+        cand = ~(self.registered | self.registered_fail)
+        if not np.any(cand):
+            return -1
+        scores = np.where(cand, self._vis_cnt, -1)
+        best = int(np.argmax(scores))
+        return best if scores[best] >= min_visible else -1
 
     def search_correspondences(self, frame: int):
         """2D-3D correspondences for registration: for each keypoint of
@@ -318,12 +448,15 @@ class SfMMap:
         if len(csr.other_frame) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         reg = self.registered[csr.other_frame]
-        # track of each correspondence target
-        tids = np.full(len(csr.other_frame), -1, np.int64)
-        # gather per other-frame (loop over involved frames, vectorized inside)
-        for f2 in np.unique(csr.other_frame[reg]):
-            sel = (csr.other_frame == f2) & reg
-            tids[sel] = self.track_of[f2][csr.other_p2d[sel]]
+        # track of each correspondence target — one flat gather when the
+        # layout is finalized, per-frame gathers otherwise
+        if self._kp_off is not None and csr.other_gkp is not None:
+            tids = np.where(reg, self._track_of_flat[csr.other_gkp], -1)
+        else:
+            tids = np.full(len(csr.other_frame), -1, np.int64)
+            for f2 in np.unique(csr.other_frame[reg]):
+                sel = (csr.other_frame == f2) & reg
+                tids[sel] = self.track_of[f2][csr.other_p2d[sel]]
         ok = tids >= 0
         ok &= np.where(ok, self.track_valid[np.maximum(tids, 0)], False)
         if not np.any(ok):
@@ -337,20 +470,29 @@ class SfMMap:
 
     def covisible_frames(self, frame: int, min_shared: int = 1):
         """Registered frames sharing tracks with `frame`, sorted by shared
-        count descending.  Returns (frame_ids, counts)."""
-        cnt: Dict[int, int] = {}
-        for p2d, tid in enumerate(self.track_of[frame]):
-            if tid < 0 or not self.track_valid[tid]:
-                continue
-            for f2 in self.track_obs[tid]:
-                if f2 != frame and self.registered[f2]:
-                    cnt[f2] = cnt.get(f2, 0) + 1
-        items = [(f2, c) for f2, c in cnt.items() if c >= min_shared]
-        items.sort(key=lambda x: -x[1])
-        return (
-            np.array([f for f, _ in items], np.int64),
-            np.array([c for _, c in items], np.int64),
+        count descending.  Returns (frame_ids, counts).
+
+        Vectorized over the flat COO observation table: membership mask
+        over this frame's live tracks, then one bincount over obs_frame."""
+        t = self.track_of[frame]
+        tids = t[t >= 0]
+        tids = tids[self.track_valid[tids]]
+        if len(tids) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        in_set = np.zeros(self.num_tracks, bool)
+        in_set[tids] = True
+        n = self.num_obs_slots
+        ot = self.obs_track[:n]
+        sel = (ot >= 0) & in_set[np.maximum(ot, 0)]
+        counts = np.bincount(
+            self.obs_frame[:n][sel], minlength=self.num_frames
         )
+        counts[frame] = 0
+        counts[~self.registered] = 0
+        ids = np.nonzero(counts >= min_shared)[0]
+        order = np.argsort(-counts[ids], kind="stable")
+        ids = ids[order]
+        return ids.astype(np.int64), counts[ids].astype(np.int64)
 
     def frame_observations(self, frame: int):
         """(p2d_idx, track_id) of live observations of a frame."""

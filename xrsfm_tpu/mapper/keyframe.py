@@ -46,24 +46,29 @@ def _ensure_fields(m: SfMMap):
 
 
 def keyframe_selection(m: SfMMap) -> int:
-    """Demote redundant keyframes.  Returns number of demotions."""
+    """Demote redundant keyframes.  Returns number of demotions.
+
+    Vectorized: per-track keyframe-observation counts come from one
+    bincount over the COO observation table, updated incrementally as
+    frames are demoted (the reference's sequential semantics — each
+    demotion affects later redundancy checks — are preserved)."""
     _ensure_fields(m)
     demoted = 0
+    # per-track count of observations from registered keyframes
+    n = m.num_obs_slots
+    ot = m.obs_track[:n]
+    of = m.obs_frame[:n]
+    kf_obs = (ot >= 0) & m.registered[of] & m.is_keyframe[of]
+    per_track_kf = np.bincount(ot[kf_obs], minlength=m.num_tracks)
     for f in range(m.num_frames):
         if not m.registered[f] or not m.is_keyframe[f]:
             continue
         p2d, tids = m.frame_observations(f)
         if len(p2d) < _MIN_OBS_DEMOTE:
             continue
-        redundant = 0
-        for tid in tids:
-            seen = sum(
-                1
-                for f2 in m.track_obs[int(tid)]
-                if f2 != f and m.registered[f2] and m.is_keyframe[f2]
-            )
-            if seen >= _SEEN_BY_OTHERS:
-                redundant += 1
+        # f itself is a registered keyframe here, so subtract its own obs
+        seen_by_others = per_track_kf[tids] - 1
+        redundant = int(np.count_nonzero(seen_by_others >= _SEEN_BY_OTHERS))
         if redundant < _REDUNDANT_RATIO * len(p2d):
             continue
         # pick the covisible keyframe with most shared tracks as reference
@@ -79,6 +84,7 @@ def keyframe_selection(m: SfMMap) -> int:
         m.ref_frame[f] = ref
         _store_rel_pose(m, f, ref)
         demoted += 1
+        np.subtract.at(per_track_kf, tids, 1)  # f's obs no longer keyframe
     # re-anchor any existing non-keyframes to current keyframe poses
     for f in range(m.num_frames):
         if m.registered[f] and not m.is_keyframe[f] and m.ref_frame[f] >= 0:

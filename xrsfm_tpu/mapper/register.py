@@ -60,10 +60,11 @@ def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOption
     m.registered[frame] = True
     # extend tracks with inlier 2D-3D matches (reference: pnp.cc:74-95)
     inl_np = np.asarray(inl)[:n]
-    for k in np.nonzero(inl_np)[0]:
-        p2d = int(p2d_idx[k])
-        tid = int(track_ids[k])
-        if m.track_of[frame][p2d] < 0 and m.track_valid[tid]:
-            if frame not in m.track_obs[tid]:
-                m.add_observation(tid, frame, p2d)
+    ks = np.nonzero(inl_np)[0]
+    ks = ks[
+        (m.track_of[frame][p2d_idx[ks]] < 0) & m.track_valid[track_ids[ks]]
+    ]
+    sel = [k for k in ks if frame not in m.track_obs[int(track_ids[k])]]
+    if sel:
+        m.add_observations(track_ids[sel], frame, p2d_idx[sel])
     return True, n_inl

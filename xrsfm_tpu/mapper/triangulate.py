@@ -50,10 +50,13 @@ def triangulate_frame(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
     p2d_of_row = np.repeat(np.arange(len(counts)), counts)
 
     row_ok = m.registered[rf] & (track_of_frame[p2d_of_row] < 0)
-    tids = np.full(len(rf), -1, np.int64)
-    for f2 in np.unique(rf[row_ok]):
-        sel = row_ok & (rf == f2)
-        tids[sel] = m.track_of[f2][rp[sel]]
+    if m._kp_off is not None and csr.other_gkp is not None:
+        tids = np.where(row_ok, m._track_of_flat[csr.other_gkp], -1)
+    else:
+        tids = np.full(len(rf), -1, np.int64)
+        for f2 in np.unique(rf[row_ok]):
+            sel = row_ok & (rf == f2)
+            tids[sel] = m.track_of[f2][rp[sel]]
     live = row_ok & (tids >= 0)
     live[live] = m.track_valid[tids[live]]
 
@@ -110,13 +113,15 @@ def _apply_extensions(m: SfMMap, frame: int, p2ds, tids, th) -> int:
     err = err[:n]
     z = z[:n]
     ok = (err < th) & (z > 0)
-    cnt = 0
-    for k in np.nonzero(ok)[0]:
-        tid = int(tids[k])
-        if m.track_valid[tid] and frame not in m.track_obs[tid]:
-            m.add_observation(tid, frame, int(p2ds[k]))
-            cnt += 1
-    return cnt
+    sel = [
+        k for k in np.nonzero(ok)[0]
+        if m.track_valid[int(tids[k])] and frame not in m.track_obs[int(tids[k])]
+    ]
+    if sel:
+        m.add_observations(
+            np.asarray(tids)[sel], frame, np.asarray(p2ds)[sel]
+        )
+    return len(sel)
 
 
 def _apply_creations(m: SfMMap, obs_sets, th, min_angle, max_views) -> int:
@@ -295,10 +300,13 @@ def merge_frame_tracks(m: SfMMap, frame: int, opts: TriOptions = TriOptions()):
     p2d_of_row = np.repeat(np.arange(len(counts)), counts)
     tid1 = m.track_of[frame][p2d_of_row]  # [E]
     rf, rp = csr.other_frame, csr.other_p2d
-    tid2 = np.full(len(rf), -1, np.int64)
-    for f2 in np.unique(rf):
-        sel = rf == f2
-        tid2[sel] = m.track_of[f2][rp[sel]]
+    if m._kp_off is not None and csr.other_gkp is not None:
+        tid2 = m._track_of_flat[csr.other_gkp]
+    else:
+        tid2 = np.full(len(rf), -1, np.int64)
+        for f2 in np.unique(rf):
+            sel = rf == f2
+            tid2[sel] = m.track_of[f2][rp[sel]]
     valid = (
         (tid1 >= 0) & (tid2 >= 0) & (tid1 != tid2)
         & m.track_valid[np.clip(tid1, 0, None)]
