@@ -263,3 +263,160 @@ def test_build_ell_tables_are_consistent():
     po = np.asarray(ell.cam.other)
     validc = cs < n_obs
     assert np.all(po[validc] == op[cs[validc]])
+
+
+# ---------------------------------------------------------------------------
+# intrinsics refinement (reference: GBA frees camera_param,
+# ba_solver.cc:330-356; LBA pins it :389)
+# ---------------------------------------------------------------------------
+
+
+def _intri_problem(k1_gt=-0.08, n_cams=8, n_pts=200, noise_px=0.0, seed=40,
+                   shared=True):
+    """Scene observed through a SIMPLE_RADIAL camera (f, cx, cy, k1)."""
+    import jax
+    from xrsfm_tpu.optim import ba as B
+
+    s = make_scene(n_cams=n_cams, n_pts=n_pts, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    f, cx, cy = 500.0, 320.0, 240.0
+    gt = C.canonicalize_params(C.SIMPLE_RADIAL, [f, cx, cy, k1_gt])
+    intri = np.tile(gt, (n_cams, 1)).astype(np.float32)
+    uv_px = np.array(
+        C.normalized_to_image(jnp.asarray(intri)[:, None, :],
+                              jnp.asarray(s["uv"]))
+    )
+    uv_px += rng.normal(scale=noise_px, size=uv_px.shape)
+    cam_idx = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    pt_idx = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    fix_cam = np.zeros(n_cams, bool); fix_cam[0] = True
+    fix_trans = np.zeros(n_cams, bool); fix_trans[1] = True
+    free, tie = C.intri_free_mask(C.SIMPLE_RADIAL)
+    kam = (np.zeros(n_cams, np.int32) if shared
+           else np.arange(n_cams, dtype=np.int32))
+    prob = BAProblem(
+        cam_q=jnp.asarray(s["q"]), cam_t=jnp.asarray(s["t"]),
+        cam_intri=jnp.asarray(intri), points=jnp.asarray(s["xyz"]),
+        obs_uv=jnp.asarray(uv_px.reshape(-1, 2).astype(np.float32)),
+        obs_cam=jnp.asarray(cam_idx), obs_pt=jnp.asarray(pt_idx),
+        obs_w=jnp.ones(len(cam_idx), jnp.float32),
+        fix_cam=jnp.asarray(fix_cam), fix_trans=jnp.asarray(fix_trans),
+        fix_pt=jnp.zeros(n_pts, bool),
+        cam_kam=jnp.asarray(kam),
+        fix_intri=jnp.asarray(np.tile(~free, (n_cams, 1))),
+        tie_f=jnp.asarray(np.full(n_cams, tie)),
+    )
+    return prob, gt
+
+
+def _perturb_intri(p, df_rel=0.05, dk1=0.05, dc_px=3.0, seed=41):
+    intri = np.array(p.cam_intri)
+    intri[:, 0] *= (1.0 + df_rel)
+    intri[:, 1] *= (1.0 + df_rel)
+    intri[:, 2] += dc_px
+    intri[:, 3] -= dc_px
+    intri[:, 4] += dk1
+    return dataclasses.replace(p, cam_intri=jnp.asarray(intri))
+
+
+def test_intri_jacobian_matches_autodiff():
+    """Analytic d pix / d (pose6, intri8) columns vs jacfwd through the
+    same retraction used by _apply_step."""
+    import jax
+    from xrsfm_tpu.optim import ba as B
+    from xrsfm_tpu.utils import camera as Cam
+
+    p, _ = _intri_problem(n_cams=3, n_pts=20, seed=50)
+    # untied OPENCV camera exercises every column
+    intri = np.tile(
+        C.canonicalize_params(
+            C.OPENCV, [480.0, 505.0, 320, 240, 0.06, -0.02, 0.002, -0.001]
+        ),
+        (3, 1),
+    ).astype(np.float32)
+    free, tie = C.intri_free_mask(C.OPENCV)
+    p = dataclasses.replace(
+        p, cam_intri=jnp.asarray(intri),
+        fix_intri=jnp.asarray(np.tile(~free, (3, 1))),
+        tie_f=jnp.zeros(3, bool),
+    )
+    r0, z0, Jfull, Jp = B._residuals_and_jacobians(p, with_intri=True)
+
+    def res_of(d14, q, t, intri_, uv, xyz):
+        q2, t2 = G.pose_retract(q, t, d14[:6])
+        fx = intri_[0] * jnp.exp(d14[6])
+        fy = intri_[1] * jnp.exp(d14[7])
+        i2 = jnp.concatenate([jnp.stack([fx, fy]), intri_[2:] + d14[8:]])
+        xy, _ = Cam.project(i2, q2, t2, xyz)
+        return xy - uv
+
+    q = p.cam_q[p.obs_cam]; t = p.cam_t[p.obs_cam]
+    ii = p.cam_intri[p.obs_cam]; xyz = p.points[p.obs_pt]
+    J_ad = jax.vmap(
+        lambda q_, t_, i_, uv_, x_: jax.jacfwd(
+            lambda d: res_of(d, q_, t_, i_, uv_, x_)
+        )(jnp.zeros(14))
+    )(q, t, ii, p.obs_uv, xyz)
+    np.testing.assert_allclose(
+        np.asarray(Jfull), np.asarray(J_ad), atol=2e-2, rtol=2e-3
+    )
+
+
+def test_gba_recovers_perturbed_intrinsics():
+    """VERDICT r1 done-criterion: 5%-perturbed focal + k1 recovered to
+    <0.1% by an intrinsics-refining GBA (noiseless observations)."""
+    from xrsfm_tpu.optim import ba as B
+
+    p0, gt = _intri_problem(noise_px=0.0, shared=True)
+    pb = _perturb_intri(p0)
+    pk, ell = B.pack_camera_major(pb)
+    sol, info = solve_ba(
+        pk, BAOptions(max_iters=40, huber_px=4.0, precise=True,
+                      optimize_intrinsics=True), ell
+    )
+    got = np.asarray(sol.cam_intri)[0]
+    assert abs(got[0] - gt[0]) / gt[0] < 1e-3, (got[0], gt[0])
+    assert abs(got[4] - gt[4]) < 1e-3, (got[4], gt[4])
+    assert abs(got[2] - gt[2]) < 0.5 and abs(got[3] - gt[3]) < 0.5, got[2:4]
+    # tied focal stays tied, shared block stays shared
+    np.testing.assert_allclose(got[0], got[1], rtol=1e-6)
+    nz = np.asarray(sol.cam_intri)[: p0.cam_q.shape[0]]
+    np.testing.assert_allclose(nz, np.tile(nz[0], (len(nz), 1)), rtol=1e-5)
+
+
+def test_gba_intrinsics_per_image_blocks():
+    """1DSfM-style: every frame its own intrinsic block; each recovers its
+    own perturbed focal under noise."""
+    from xrsfm_tpu.optim import ba as B
+
+    p0, gt = _intri_problem(noise_px=0.3, shared=False, seed=60)
+    rng = np.random.default_rng(61)
+    intri = np.array(p0.cam_intri)
+    per = 1.0 + rng.uniform(-0.05, 0.05, len(intri))
+    intri[:, 0] *= per
+    intri[:, 1] *= per
+    intri[:, 4] += rng.uniform(-0.04, 0.04, len(intri))
+    pb = dataclasses.replace(p0, cam_intri=jnp.asarray(intri))
+    pk, ell = B.pack_camera_major(pb)
+    sol, _ = solve_ba(
+        pk, BAOptions(max_iters=40, huber_px=4.0, precise=True,
+                      optimize_intrinsics=True), ell
+    )
+    got = np.asarray(sol.cam_intri)
+    rel = np.abs(got[:, 0] - gt[0]) / gt[0]
+    assert np.median(rel) < 5e-3, rel
+    assert np.median(np.abs(got[:, 4] - gt[4])) < 5e-3
+
+
+def test_pose_only_solves_ignore_intrinsics_fields():
+    """optimize_intrinsics=False leaves cam_intri untouched even when the
+    metadata fields are present."""
+    from xrsfm_tpu.optim import ba as B
+
+    p0, _ = _intri_problem(noise_px=0.2, seed=70)
+    pb = perturb(p0, seed=71)
+    pk, ell = B.pack_camera_major(pb)
+    sol, _ = solve_ba(pk, BAOptions(max_iters=10, huber_px=4.0), ell)
+    np.testing.assert_array_equal(
+        np.asarray(sol.cam_intri), np.asarray(pk.cam_intri)
+    )

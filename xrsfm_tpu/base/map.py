@@ -159,6 +159,35 @@ class SfMMap:
             out = np.asarray(Cam.image_to_normalized(params, jnp.asarray(kp)))
         return out.astype(np.float32)
 
+    def update_camera(self, cam_id: int, canon_params: np.ndarray):
+        """Write refined canonical intrinsics back (BA intrinsics
+        refinement) and refresh kps_norm for every frame of this camera
+        in one batched undistortion call."""
+        canon = np.asarray(canon_params, np.float64).reshape(8)
+        self.cameras[cam_id] = canon
+        model_id, _, w, h = self.camera_models[cam_id]
+        self.camera_models[cam_id] = (
+            model_id, Cam.raw_params(model_id, canon), w, h
+        )
+        frames = np.nonzero(self.cam_of_frame == cam_id)[0]
+        if len(frames) == 0:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        allkp = np.concatenate([self.kps[int(f)] for f in frames], axis=0)
+        with jax.default_device(cpu):
+            params = jnp.asarray(canon, jnp.float32)
+            out = np.asarray(
+                Cam.image_to_normalized(params, jnp.asarray(allkp))
+            ).astype(np.float32)
+        off = 0
+        for f in frames:
+            n = len(self.kps[int(f)])
+            self.kps_norm[int(f)] = out[off: off + n]
+            off += n
+
     def add_pair(self, id1: int, id2: int, inlier_matches: np.ndarray):
         """inlier_matches [M, 2] int32 (p2d in id1, p2d in id2)."""
         pid = len(self.pairs)

@@ -94,6 +94,24 @@ def build_problem(
     opt_mask[np.asarray(list(opt_frames), np.int64)] = True
     fix_cam[:nf] = fix_all_poses | ~opt_mask[frames]
 
+    # intrinsics metadata: intrinsic blocks shared per physical camera id
+    # (reference GBA frees camera_param per Camera, ba_solver.cc:330-356);
+    # padding blocks fully frozen.  Ignored by pose-only solves.
+    from ..utils import camera as Cam
+
+    cam_kam = np.arange(C, dtype=np.int32)
+    fix_intri = np.ones((C, 8), bool)
+    tie_f = np.zeros(C, bool)
+    cam_ids_of_frames = m.cam_of_frame[frames]
+    uniq_cids, kam_of_frame = np.unique(cam_ids_of_frames, return_inverse=True)
+    cam_kam[:nf] = kam_of_frame
+    for cid in uniq_cids:
+        model_id = m.camera_models[int(cid)][0]
+        free, tie = Cam.intri_free_mask(model_id)
+        rows = np.nonzero(cam_ids_of_frames == cid)[0]
+        fix_intri[rows] = ~free
+        tie_f[rows] = tie
+
     points = np.zeros((P, 3), np.float32)
     fix_pt = np.ones(P, bool)
     nt = len(tracks)
@@ -146,6 +164,9 @@ def build_problem(
         fix_cam=fix_cam,
         fix_trans=fix_trans,
         fix_pt=fix_pt,
+        cam_kam=cam_kam,
+        fix_intri=fix_intri,
+        tie_f=tie_f,
     )
     # camera-major packing: camera-side ELL gathers become reshapes
     prob, ell = pack_camera_major(prob, n_valid=n_obs)
@@ -158,8 +179,13 @@ def run_ba(
     opts: BAOptions = BAOptions(),
     fix_all_poses: bool = False,
     obs_frames: Optional[Sequence[int]] = None,
+    optimize_intrinsics: bool = False,
 ) -> Optional[BAGlueResult]:
-    """Build, solve, write back."""
+    """Build, solve, write back.
+
+    optimize_intrinsics frees the camera intrinsics (reference: GBA
+    frees camera_param, ba_solver.cc:330-356; LBA pins it :389) and
+    writes refined params back into the map, refreshing kps_norm."""
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
     prob, frames, tracks, ell = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
@@ -167,14 +193,16 @@ def run_ba(
     )
     if prob is None:
         return None
+    if optimize_intrinsics:
+        opts = dataclasses.replace(opts, optimize_intrinsics=True)
     sol, info = solve_ba(prob, opts, ell)
     nf, nt = len(frames), len(tracks)
     # one batched device fetch (each separate fetch is a tunnel round-trip)
     import jax
 
-    q, t, pts, ini, fin, its = jax.device_get(
-        (sol.cam_q, sol.cam_t, sol.points, info["initial_cost"],
-         info["final_cost"], info["iters"])
+    q, t, pts, intri, ini, fin, its = jax.device_get(
+        (sol.cam_q, sol.cam_t, sol.points, sol.cam_intri,
+         info["initial_cost"], info["final_cost"], info["iters"])
     )
     q = np.asarray(q, np.float64)[:nf]
     t = np.asarray(t, np.float64)[:nf]
@@ -184,6 +212,12 @@ def run_ba(
     m.q[fr] = q[upd] / np.linalg.norm(q[upd], axis=1, keepdims=True)
     m.t[fr] = t[upd]
     m.track_xyz[np.asarray(tracks)] = pts
+    if optimize_intrinsics:
+        intri = np.asarray(intri, np.float64)[:nf]
+        cam_ids = m.cam_of_frame[frames]
+        for cid in np.unique(cam_ids):
+            row = int(np.nonzero(cam_ids == cid)[0][0])
+            m.update_camera(int(cid), intri[row])
     return BAGlueResult(
         frame_ids=np.asarray(frames),
         track_ids=np.asarray(tracks),

@@ -42,6 +42,11 @@ class MapperOptions:
     gba_growth: float = 1.2  # periodic GBA trigger (incremental_mapper.cc:77)
     stop_when_register_fail: bool = False
     min_visible: int = 20
+    # free camera intrinsics in global BA (reference: GBA frees
+    # camera_param, ba_solver.cc:330-356; LBA always pins it :389).
+    # Enabled by rec_1dsfm (noisy per-image EXIF focals, unknown
+    # distortion, rec_1dsfm.cc:46-55); off for calibrated pipelines.
+    refine_intrinsics: bool = False
     init_id1: int = -1
     init_id2: int = -1
     verbose: bool = True
@@ -213,6 +218,7 @@ class IncrementalMapper:
                     m,
                     BAOptions(max_iters=o.gba_iters, huber_px=4.0),
                     tri_opts=o.tri,
+                    optimize_intrinsics=o.refine_intrinsics,
                 )
                 self.stats.time_gba += time.time() - t0
                 num_reg_at_gba = n_reg
@@ -248,7 +254,8 @@ class IncrementalMapper:
                 precise=hard,
             )
             for _round in range(2 if hard else 1):
-                ba_glue.run_ba(m, reg_frames, polish)
+                ba_glue.run_ba(m, reg_frames, polish,
+                               optimize_intrinsics=o.refine_intrinsics)
             import dataclasses as _dc
 
             tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)
@@ -259,7 +266,9 @@ class IncrementalMapper:
             triangulate.merge_all_tracks(m, None, self.opts.tri)
             n_rt = triangulate.retriangulate(m, None, self.opts.tri)
             ba_glue.run_ba(
-                m, reg_frames, BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0)
+                m, reg_frames,
+                BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0),
+                optimize_intrinsics=o.refine_intrinsics,
             )
             triangulate.filter_tracks(m, None, tight)
             self.stats.time_gba += time.time() - t0

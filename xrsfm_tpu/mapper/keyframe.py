@@ -118,6 +118,7 @@ def kgba(
     m: SfMMap,
     opts: BAOptions = BAOptions(max_iters=20, huber_px=4.0),
     tri_opts: Optional[triangulate.TriOptions] = None,
+    optimize_intrinsics: bool = False,
 ):
     """Keyframe global BA + non-keyframe propagation
     (reference: BASolver::KGBA, ba_solver.cc:640-678)."""
@@ -128,7 +129,8 @@ def kgba(
     ]
     if len(keyframes) < 2:
         return None
-    res = ba_glue.run_ba(m, keyframes, opts, obs_frames=keyframes)
+    res = ba_glue.run_ba(m, keyframes, opts, obs_frames=keyframes,
+                         optimize_intrinsics=optimize_intrinsics)
     update_by_ref_frame(m)
     if tri_opts is not None:
         triangulate.filter_tracks(m, None, tri_opts)

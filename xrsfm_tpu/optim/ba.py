@@ -59,6 +59,17 @@ class BAProblem:
     fix_cam: jax.Array  # [C] bool — freeze full pose
     fix_trans: jax.Array  # [C] bool — freeze translation only
     fix_pt: jax.Array  # [P] bool — freeze point
+    # --- intrinsics refinement (reference: GBA frees camera_param,
+    # ba_solver.cc:330-356; LBA pins it :389).  Optional: all three may
+    # be None (pose-only solves ignore them).
+    # intrinsic-block id per camera: frames sharing a physical camera
+    # share one block (steps are computed at block level), [C] int32
+    cam_kam: jax.Array | None = None
+    # per-camera frozen canonical entries (True = frozen), [C, 8] bool —
+    # entries absent from the raw COLMAP model stay frozen
+    fix_intri: jax.Array | None = None
+    # fx/fy tied (single-focal models SIMPLE_*/RADIAL), [C] bool
+    tie_f: jax.Array | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -278,6 +289,11 @@ class BAOptions:
     # default to bf16 passes for f32 inputs, hence the explicit
     # highest-precision scope.
     precise: bool = False
+    # free the camera intrinsics (reference: GBA adds camera_param as a
+    # variable block, ba_solver.cc:330-356; LBA pins it :389).  Requires
+    # cam_kam/fix_intri/tie_f on the problem and an EllIndex; camera
+    # tangent grows 6 -> 14 (pose + log-fx/fy, cx, cy, k1, k2, p1, p2).
+    optimize_intrinsics: bool = False
 
 
 def _obs_residual(delta9, q, t, intri, uv, xyz):
@@ -289,8 +305,9 @@ def _obs_residual(delta9, q, t, intri, uv, xyz):
     return xy - uv, z
 
 
-def _residuals_and_jacobians(p: BAProblem):
-    """Batched residuals [O,2], depths [O], Jacobians Jc [O,2,6], Jp [O,2,3].
+def _residuals_and_jacobians(p: BAProblem, with_intri: bool = False):
+    """Batched residuals [O,2], depths [O], Jacobians Jc [O,2,6] (or
+    [O,2,14] with the intrinsic tangent appended), Jp [O,2,3].
 
     Analytic chain (~4x cheaper than 9-tangent jacfwd):
       pc = R x + t;  proj = pc_xy / pc_z;  pix = f * distort(proj) + c
@@ -333,7 +350,55 @@ def _residuals_and_jacobians(p: BAProblem):
     Jw = jnp.einsum("oij,ojk->oik", B, -jnp.einsum("oij,ojk->oik", R, G.skew(xyz)))
     Jc = jnp.concatenate([Jw, B], axis=-1)  # [O,2,6]
     Jp = jnp.einsum("oij,ojk->oik", B, R)  # [O,2,3]
-    return r, z, Jc, Jp
+    if not with_intri:
+        return r, z, Jc, Jp
+    Ji = _intri_jacobian(p, intri, proj)  # [O,2,8]
+    return r, z, jnp.concatenate([Jc, Ji], axis=-1), Jp
+
+
+def _intri_jacobian(p: BAProblem, intri, proj):
+    """Analytic d pix / d intrinsic-tangent, [O,2,8].
+
+    Tangent layout: (dlog fx, dlog fy, dcx, dcy, dk1, dk2, dp1, dp2);
+    log-focal keeps the column scale commensurate with the pose columns
+    (both ~pixel-sized) for the bf16 Schur products.  When tie_f is set
+    (single-focal models) column 0 carries d/d log f for BOTH axes and
+    column 1 is zeroed (its mask is also frozen)."""
+    fx, fy = intri[..., 0], intri[..., 1]
+    u, v = proj[..., 0], proj[..., 1]
+    d = Cam.distort(intri, proj)  # distorted normalized coords
+    u2, v2 = u * u, v * v
+    r2 = u2 + v2
+    r4 = r2 * r2
+    zeros = jnp.zeros_like(u)
+    ones = jnp.ones_like(u)
+    tie = (
+        p.tie_f[p.obs_cam].astype(u.dtype)
+        if p.tie_f is not None
+        else jnp.zeros_like(u)
+    )
+    # row-x entries per tangent column
+    jx = jnp.stack(
+        [
+            fx * d[..., 0],          # dlog fx (and dlog f when tied)
+            zeros,                   # dlog fy (x-row unaffected)
+            ones, zeros,             # dcx, dcy
+            fx * u * r2, fx * u * r4,            # dk1, dk2
+            fx * 2 * u * v, fx * (r2 + 2 * u2),  # dp1, dp2
+        ],
+        axis=-1,
+    )
+    jy = jnp.stack(
+        [
+            tie * fy * d[..., 1],    # tied: y-row follows column 0
+            (1.0 - tie) * fy * d[..., 1],
+            zeros, ones,
+            fy * v * r2, fy * v * r4,
+            fy * (r2 + 2 * v2), fy * 2 * u * v,
+        ],
+        axis=-1,
+    )
+    return jnp.stack([jx, jy], axis=-2)  # [O,2,8]
 
 
 def _residuals_and_jacobians_ad(p: BAProblem):
@@ -459,6 +524,23 @@ def _colmask6(p: BAProblem):
     )  # [C, 6]
 
 
+def _colmask_intri(p: BAProblem):
+    """Per-camera 8-dim intrinsic-tangent mask (entry frozen by
+    fix_intri; the dlog-fy column is also frozen for tied-focal models,
+    whose column 0 carries both axes)."""
+    im = (~p.fix_intri).astype(jnp.float32)
+    if p.tie_f is not None:
+        im = im.at[:, 1].multiply((~p.tie_f).astype(jnp.float32))
+    return im  # [C, 8]
+
+
+def _cam_colmask(p: BAProblem, with_intri: bool):
+    m6 = _colmask6(p)
+    if not with_intri:
+        return m6
+    return jnp.concatenate([m6, _colmask_intri(p)], axis=1)  # [C, 14]
+
+
 def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
                              reduce_fn=None):
     """Scatter-free normal-equation blocks via ELL row gathers.
@@ -490,11 +572,12 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
         [w[:, None], r * w[:, None], jnp.zeros_like(w)[:, None]], axis=1
     ).astype(jnp.bfloat16)  # [O, 4]
 
+    D = Jc.shape[-1]  # 6 pose-only, 14 with intrinsics
     Rc, Mc = ell.cam.slots.shape
-    Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,6] bf16
+    Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,D] bf16
     scg = _gather_rows(sc, ell.cam)  # [Rc,Mc,4] bf16
-    A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, 6)
-    B = Jcg.reshape(Rc, Mc * 2, 6)
+    A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, D)
+    B = Jcg.reshape(Rc, Mc * 2, D)
     U_rows = jnp.einsum(
         "rki,rkj->rij", A, B, preferred_element_type=jnp.float32
     )
@@ -504,7 +587,7 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     )
     U = red(jax.ops.segment_sum(U_rows, ell.cam.seg, num_segments=C))
     bc = red(jax.ops.segment_sum(bc_rows, ell.cam.seg, num_segments=C))
-    m6 = _colmask6(p)
+    m6 = _cam_colmask(p, D > 6)
     U = U * (m6[:, :, None] * m6[:, None, :])
     bc = bc * m6
 
@@ -528,22 +611,43 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     return U, V, bc, bp
 
 
-def _inv6x6_spd(M):
-    """Batched closed-form inverse of SPD 6x6 blocks via 3x3-block Schur
-    complement (avoids XLA's batched-LU path, which is slow for tiny
-    blocks on TPU)."""
-    A = M[..., :3, :3]
-    B = M[..., :3, 3:]
-    D = M[..., 3:, 3:]
-    Ai = _inv3x3(A)
+def _inv2x2(M):
+    a = M[..., 0, 0]; b = M[..., 0, 1]
+    c = M[..., 1, 0]; d = M[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-12, jnp.sign(det) * 1e-12 + 1e-12, det)
+    adj = jnp.stack([d, -b, -c, a], axis=-1).reshape(M.shape)
+    return adj / det[..., None, None]
+
+
+def _inv_spd(M):
+    """Batched closed-form inverse of small SPD blocks via recursive
+    block-Schur partitioning down to 2x2/3x3 closed forms (avoids XLA's
+    batched-LU path, which is slow for tiny blocks on TPU).  Used at
+    n = 6 (pose blocks), 8 (intrinsic blocks), 14 (pose+intrinsics)."""
+    n = M.shape[-1]
+    if n == 1:
+        return 1.0 / jnp.where(jnp.abs(M) < 1e-12, 1e-12, M)
+    if n == 2:
+        return _inv2x2(M)
+    if n == 3:
+        return _inv3x3(M)
+    k = (n + 1) // 2
+    A = M[..., :k, :k]
+    B = M[..., :k, k:]
+    D = M[..., k:, k:]
+    Ai = _inv_spd(A)
     AiB = jnp.einsum("...ij,...jk->...ik", Ai, B)
     S = D - jnp.einsum("...ji,...jk->...ik", B, AiB)
-    Si = _inv3x3(S)
+    Si = _inv_spd(S)
     TR = -jnp.einsum("...ij,...jk->...ik", AiB, Si)
     TL = Ai - jnp.einsum("...ij,...kj->...ik", TR, AiB)
     top = jnp.concatenate([TL, TR], axis=-1)
     bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+_inv6x6_spd = _inv_spd  # historical alias (6x6 pose blocks)
 
 
 def _chol3x3(M):
@@ -582,11 +686,13 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     materialized (HBM gathers dominate this solver's runtime)."""
     C = p.cam_q.shape[0]
     P = p.points.shape[0]
+    D = Jc.shape[-1]  # 6 pose-only, 14 with a tied-intrinsics tangent
+    with_intri = D > 6
     red = reduce_fn if reduce_fn is not None else (lambda x: x)
-    eye6 = jnp.eye(6, dtype=U.dtype)
+    eyeD = jnp.eye(D, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=U.dtype)
 
-    Ud = U + lam * (U * eye6) + 1e-8 * eye6
+    Ud = U + lam * (U * eyeD) + 1e-8 * eyeD
     Vd = V + lam * (V * eye3) + 1e-8 * eye3
     Vinv = _inv3x3(Vd)
     L = _chol3x3(Vinv)  # [P,3,3]
@@ -599,78 +705,127 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
         jnp.einsum("orj,ojk->ork", Jp.astype(cd), Lg)
         * wm[:, None, None]
     )  # [O,2,3]
-    m6g = _colmask6(p).astype(cd)[p.obs_cam]  # [O,6]
+    m6g = _cam_colmask(p, with_intri).astype(cd)[p.obs_cam]  # [O,D]
     Y = (
         jnp.einsum(
             "ori,ork->oik", Jc.astype(cd), Z,
             preferred_element_type=jnp.float32,
         )
         * m6g[:, :, None]
-    ).astype(cd)  # [O,6,3]
+    ).astype(cd)  # [O,D,3]
 
     Rc, Mc = ell.cam.slots.shape
     Rp, Lw = ell.pt.slots.shape
-    Ypt = _gather_rows(Y, ell.pt)  # [Rp,Lw,6,3] bf16
-    Ycam = _gather_rows(Y, ell.cam)  # [Rc,Mc,6,3] bf16
+    Ypt = _gather_rows(Y, ell.pt)  # [Rp,Lw,D,3] bf16
+    Ycam = _gather_rows(Y, ell.cam)  # [Rc,Mc,D,3] bf16
     cam_ids = ell.pt.other  # [Rp,Lw]
     pt_ids = ell.cam.other  # [Rc,Mc]
 
+    # --- tied-intrinsics reduced space (reference: GBA frees camera_param
+    # per PHYSICAL camera, ba_solver.cc:330-356).  Pose columns live per
+    # camera; intrinsic columns live per intrinsic block (cam_kam maps
+    # cameras to blocks; frames sharing a camera share one block).  CG
+    # vectors use the replicated per-camera form [C,D] whose intrinsic
+    # part is constant within a block; `_proj` re-imposes that subspace
+    # (gradient summation over the block) and `_dot` counts each block
+    # once (1/|block| weights).
+    if with_intri:
+        kam = p.cam_kam
+        kam_cnt = jax.ops.segment_sum(
+            jnp.ones(C, jnp.float32), kam, num_segments=C
+        )
+        wred = 1.0 / jnp.maximum(kam_cnt, 1.0)  # [K(=C)]
+
+        def _proj(y):  # [C,D] cam-level gradient → tied subspace
+            yi = jax.ops.segment_sum(y[:, 6:], kam, num_segments=C)
+            return jnp.concatenate([y[:, :6], yi[kam]], axis=1)
+
+        def _dot(a, b):
+            return jnp.sum(a[:, :6] * b[:, :6]) + jnp.sum(
+                (a[:, 6:] * b[:, 6:]) * wred[kam][:, None]
+            )
+    else:
+        def _proj(y):
+            return y
+
+        def _dot(a, b):
+            return jnp.sum(a * b)
+
     def _ypt_reduce(x):
         """yp[p] = Σ_{o∈p} Y_oᵀ x_{cam(o)}  → [P,3]"""
-        xg = x[cam_ids].astype(cd)  # [Rp,Lw,6]
+        xg = x[cam_ids].astype(cd)  # [Rp,Lw,D]
         yrow = jnp.einsum(
             "rlij,rli->rj", Ypt, xg, preferred_element_type=jnp.float32
         )
         return red(jax.ops.segment_sum(yrow, ell.pt.seg, num_segments=P))
 
     def _ycam_reduce(zp):
-        """t[c] = Σ_{o∈c} Y_o z_{pt(o)}  → [C,6]"""
+        """t[c] = Σ_{o∈c} Y_o z_{pt(o)}  → [C,D]"""
         zg = zp[pt_ids].astype(cd)  # [Rc,Mc,3]
         trow = jnp.einsum(
             "rmij,rmj->ri", Ycam, zg, preferred_element_type=jnp.float32
         )
         return red(jax.ops.segment_sum(trow, ell.cam.seg, num_segments=C))
 
-    def S_matvec(x):  # x [C,6] f32
-        return jnp.einsum("cij,cj->ci", Ud, x) - _ycam_reduce(_ypt_reduce(x))
+    def S_matvec(x):  # x [C,D] f32, intrinsic part block-replicated
+        return _proj(
+            jnp.einsum("cij,cj->ci", Ud, x) - _ycam_reduce(_ypt_reduce(x))
+        )
 
     # rhs = bc - Σ_o Y_o (Lᵀ bp)_{pt(o)}
     u = jnp.einsum("pji,pj->pi", L, bp)  # Lᵀ bp  [P,3]
-    rhs = bc - _ycam_reduce(u)
+    rhs = _proj(bc - _ycam_reduce(u))
 
     # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ as a
     # multi-contracting dot_general over (slot, 3) — no transposed copy
-    # of the [Rc,Mc,6,3] Y rows
+    # of the [Rc,Mc,D,3] Y rows
     S_rows = jax.lax.dot_general(
         Ycam, Ycam, (((1, 3), (1, 3)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [Rc,6,6]
+    )  # [Rc,D,D]
     Sdiag = Ud - red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))
-    Sdiag = Sdiag + 1e-7 * eye6
-    Minv = _inv6x6_spd(Sdiag)
+    Sdiag = Sdiag + 1e-7 * eyeD
+    if with_intri:
+        # separate pose (per camera) and intrinsic (per block) Jacobi
+        # blocks — symmetric PD in the reduced metric by construction
+        Minv_p = _inv_spd(Sdiag[:, :6, :6])
+        Sd_i = jax.ops.segment_sum(
+            Sdiag[:, 6:, 6:], kam, num_segments=C
+        ) + 1e-7 * jnp.eye(8, dtype=U.dtype)
+        Minv_i = _inv_spd(Sd_i)
 
-    def precond(x):
-        return jnp.einsum("cij,cj->ci", Minv, x)
+        def precond(x):
+            xp = jnp.einsum("cij,cj->ci", Minv_p, x[:, :6])
+            xi_red = jax.ops.segment_sum(
+                x[:, 6:] * wred[kam][:, None], kam, num_segments=C
+            )  # one copy of the block value
+            xi = jnp.einsum("kij,kj->ki", Minv_i, xi_red)
+            return jnp.concatenate([xp, xi[kam]], axis=1)
+    else:
+        Minv = _inv_spd(Sdiag)
+
+        def precond(x):
+            return jnp.einsum("cij,cj->ci", Minv, x)
 
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
     z0 = precond(r0)
-    rz0 = jnp.sum(r0 * z0)
-    bnorm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-30
+    rz0 = _dot(r0, z0)
+    bnorm = jnp.sqrt(_dot(rhs, rhs)) + 1e-30
 
     def cg_cond(carry):
         i, x, r_, z_, pk, rz = carry
-        return (i < cg_iters) & (jnp.sqrt(jnp.sum(r_ * r_)) > cg_tol * bnorm)
+        return (i < cg_iters) & (jnp.sqrt(_dot(r_, r_)) > cg_tol * bnorm)
 
     def cg_body(carry):
         i, x, r_, z_, pk, rz = carry
         Ap = S_matvec(pk)
-        denom = jnp.sum(pk * Ap)
+        denom = _dot(pk, Ap)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         x = x + alpha * pk
         r_new = r_ - alpha * Ap
         z_new = precond(r_new)
-        rz_new = jnp.sum(r_new * z_new)
+        rz_new = _dot(r_new, z_new)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         return i + 1, x, r_new, z_new, z_new + beta * pk, rz_new
 
@@ -758,11 +913,32 @@ def _schur_solve(p: BAProblem, U, V, W, bc, bp, lam, cg_iters, cg_tol):
 
 
 def _apply_step(p: BAProblem, dx_c, dx_p) -> BAProblem:
-    dx_c = dx_c * (~p.fix_cam)[:, None]
-    dx_c = dx_c.at[:, 3:].multiply((~p.fix_trans)[:, None])
-    q2, t2 = G.pose_retract(p.cam_q, p.cam_t, dx_c)
+    dpose = dx_c[:, :6]
+    dpose = dpose * (~p.fix_cam)[:, None]
+    dpose = dpose.at[:, 3:].multiply((~p.fix_trans)[:, None])
+    q2, t2 = G.pose_retract(p.cam_q, p.cam_t, dpose)
     pts2 = p.points + dx_p * (~p.fix_pt)[:, None]
-    return dataclasses.replace(p, cam_q=q2, cam_t=t2, points=pts2)
+    out = dataclasses.replace(p, cam_q=q2, cam_t=t2, points=pts2)
+    if dx_c.shape[1] > 6:
+        di = dx_c[:, 6:] * _colmask_intri(p)  # [C,8]
+        intri = p.cam_intri
+        tie = (
+            p.tie_f.astype(intri.dtype)
+            if p.tie_f is not None
+            else jnp.zeros(intri.shape[0], intri.dtype)
+        )
+        dlogfx = di[:, 0]
+        dlogfy = tie * di[:, 0] + (1.0 - tie) * di[:, 1]
+        fx2 = intri[:, 0] * jnp.exp(dlogfx)
+        fy2 = intri[:, 1] * jnp.exp(dlogfy)
+        rest = intri[:, 2:] + di[:, 2:]
+        out = dataclasses.replace(
+            out,
+            cam_intri=jnp.concatenate(
+                [fx2[:, None], fy2[:, None], rest], axis=1
+            ),
+        )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -789,9 +965,19 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
         it, prob, lam, cost, done = carry
         return (it < opts.max_iters) & (~done)
 
+    if opts.optimize_intrinsics and (
+        ell is None or p.cam_kam is None or p.fix_intri is None
+    ):
+        raise ValueError(
+            "optimize_intrinsics requires an EllIndex and "
+            "cam_kam/fix_intri on the problem"
+        )
+
     def lm_body(carry):
         it, prob, lam, cost, done = carry
-        r, z, Jc, Jp = _residuals_and_jacobians(prob)
+        r, z, Jc, Jp = _residuals_and_jacobians(
+            prob, with_intri=opts.optimize_intrinsics
+        )
         _, w = _robust_cost_and_weight(r, z, prob.obs_w, opts.huber_px)
         if ell is not None:
             U, V, bc, bp = _build_normal_blocks_ell(prob, ell, r, Jc, Jp, w)

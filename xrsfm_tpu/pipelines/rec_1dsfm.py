@@ -24,6 +24,9 @@ def main(bin_dir: str, camera_info_path: str, output_dir: str):
     opts = MapperOptions()
     # reference: tighter GBA threshold (4px) for internet scenes
     opts.tri.filter_px = 4.0
+    # per-image EXIF focals are noisy and distortion starts at 0
+    # (reference rec_1dsfm.cc:46-55); GBA refines camera_param
+    opts.refine_intrinsics = True
     mapper = IncrementalMapper(opts)
     ok = mapper.reconstruct(m)
     if not ok:

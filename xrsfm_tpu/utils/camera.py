@@ -68,6 +68,28 @@ def canonicalize_params(model_id: int, params) -> np.ndarray:
     return out
 
 
+_FREE_ENTRIES = {
+    # canonical-tangent entries the raw COLMAP model actually has
+    # (reference GBA frees the model's whole param vector,
+    # ba_solver.cc:330-356): 0=log fx, 1=log fy, 2=cx, 3=cy, 4..7=k1 k2 p1 p2
+    SIMPLE_PINHOLE: [0, 2, 3],
+    PINHOLE: [0, 1, 2, 3],
+    SIMPLE_RADIAL: [0, 2, 3, 4],
+    RADIAL: [0, 2, 3, 4, 5],
+    OPENCV: [0, 1, 2, 3, 4, 5, 6, 7],
+}
+_TIED_FOCAL = {SIMPLE_PINHOLE, SIMPLE_RADIAL, RADIAL}
+
+
+def intri_free_mask(model_id: int):
+    """(free [8] bool, tie_f bool) for BA intrinsics refinement: which
+    canonical-tangent entries are free for this COLMAP model, and whether
+    fx/fy are a single tied focal."""
+    free = np.zeros(8, bool)
+    free[_FREE_ENTRIES[model_id]] = True
+    return free, model_id in _TIED_FOCAL
+
+
 def raw_params(model_id: int, canon: np.ndarray) -> np.ndarray:
     """Canonical 8-vector -> raw COLMAP param vector (for I/O round trip)."""
     c = np.asarray(canon, dtype=np.float64)
