@@ -74,16 +74,31 @@ def pnp_ransac(key, uv, xyz, mask, threshold, num_hypotheses: int = 256):
         refit_fn=None,
     )
     q, t = res.model
-    # LO step: LM refine on the inlier set (plays the reference's
-    # EPNP-local-optimization + Ceres-refine role, pnp.cc:39-71)
+    # LO stage (reference: LORANSAC<P3P, EPNP> + Ceres refine,
+    # pnp.cc:39-71, absolute_pose.cc:188-621): refit GLOBAL closed-form
+    # solvers on the inlier set, LM-polish every candidate, keep the best
+    # support.  EPnP escapes the P3P minimal-sample basin; IPPE
+    # enumerates BOTH planar-ambiguity poses, which removes the
+    # wall-dominated mirror-pose failure (error_correct.py docstring)
+    # without 2-view special-casing.
+    from ..ops import epnp as EPNP
+
     w = res.inliers.astype(uv.dtype)
-    q2, t2 = pnp.refine_pose(q, t, uv, xyz, w, iters=10)
-    r2 = pnp.pnp_residuals(q2[None], t2[None], uv, xyz)[0]
-    inl2 = (r2 <= threshold) & mask
-    better = jnp.sum(inl2) >= res.num_inliers
-    q3 = jnp.where(better, q2, q)
-    t3 = jnp.where(better, t2, t)
-    inl3 = jnp.where(better, inl2, res.inliers)
+    q_e, t_e = EPNP.epnp(xyz, uv, w)
+    q_p, t_p = EPNP.ippe(xyz, uv, w)  # [2,4], [2,3]
+    cand_q = jnp.stack([q, q_e, q_p[0], q_p[1]])
+    cand_t = jnp.stack([t, t_e, t_p[0], t_p[1]])
+    q_r, t_r = jax.vmap(
+        lambda qq, tt: pnp.refine_pose(qq, tt, uv, xyz, w, iters=10)
+    )(cand_q, cand_t)
+    r_all = pnp.pnp_residuals(q_r, t_r, uv, xyz)  # [4,N]
+    inl_all = (r_all <= threshold) & mask[None, :]
+    support = jnp.sum(inl_all, axis=1)
+    best = jnp.argmax(support)
+    better = support[best] >= res.num_inliers
+    q3 = jnp.where(better, q_r[best], q)
+    t3 = jnp.where(better, t_r[best], t)
+    inl3 = jnp.where(better, inl_all[best], res.inliers)
     return q3, t3, inl3, jnp.sum(inl3), res.success
 
 
