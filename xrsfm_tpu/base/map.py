@@ -458,15 +458,30 @@ class SfMMap:
         """Unregistered frame seeing the most tracks (reference:
         Map::MaxPoint3dFrameId, src/base/map.cc:129-205).  Returns -1 when
         none qualifies."""
+        f = self.ready_frames(min_visible, max_batch=1)
+        return int(f[0]) if len(f) else -1
+
+    def ready_frames(self, min_visible: int = 20, max_batch: int = 1,
+                     ratio: float = 0.6) -> np.ndarray:
+        """Unregistered frames ready to register, best-first: all frames
+        with visible-track count >= max(min_visible, ratio * best).
+        max_batch=1 reproduces MaxPoint3dFrameId; larger batches feed the
+        one-dispatch batched registration (SURVEY §7.3 — the reference
+        registers strictly one frame at a time)."""
         if self._kp_off is None:
             self._finalize_layout()
         self._refresh_vis()
         cand = ~(self.registered | self.registered_fail)
         if not np.any(cand):
-            return -1
+            return np.zeros(0, np.int64)
         scores = np.where(cand, self._vis_cnt, -1)
-        best = int(np.argmax(scores))
-        return best if scores[best] >= min_visible else -1
+        best = int(scores.max())
+        if best < min_visible:
+            return np.zeros(0, np.int64)
+        cut = max(min_visible, int(np.ceil(ratio * best)))
+        ids = np.nonzero(scores >= cut)[0]
+        order = np.argsort(-scores[ids], kind="stable")
+        return ids[order][:max_batch].astype(np.int64)
 
     def search_correspondences(self, frame: int):
         """2D-3D correspondences for registration: for each keypoint of

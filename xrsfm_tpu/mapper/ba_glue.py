@@ -61,6 +61,7 @@ def build_problem(
     fix_all_poses: bool = False,
     gauge_frames: Optional[Sequence[int]] = None,
     obs_frames: Optional[Sequence[int]] = None,
+    freeze_tracks: Optional[np.ndarray] = None,
 ):
     """Build a padded BAProblem.  Frames not in opt_frames (but observing
     shared tracks) enter with frozen poses — the reference holds non-local
@@ -116,7 +117,9 @@ def build_problem(
     fix_pt = np.ones(P, bool)
     nt = len(tracks)
     points[:nt] = m.track_xyz[tracks]
-    fix_pt[:nt] = False
+    fix_pt[:nt] = (
+        freeze_tracks[tracks] if freeze_tracks is not None else False
+    )
 
     fmap_arr = frames  # sorted unique
     obs_cam = np.zeros(O, np.int32)
@@ -180,6 +183,7 @@ def run_ba(
     fix_all_poses: bool = False,
     obs_frames: Optional[Sequence[int]] = None,
     optimize_intrinsics: bool = False,
+    freeze_tracks: Optional[np.ndarray] = None,
 ) -> Optional[BAGlueResult]:
     """Build, solve, write back.
 
@@ -189,7 +193,7 @@ def run_ba(
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
     prob, frames, tracks, ell = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
-        obs_frames=obs_frames,
+        obs_frames=obs_frames, freeze_tracks=freeze_tracks,
     )
     if prob is None:
         return None

@@ -47,6 +47,10 @@ class MapperOptions:
     # Enabled by rec_1dsfm (noisy per-image EXIF focals, unknown
     # distortion, rec_1dsfm.cc:46-55); off for calibrated pipelines.
     refine_intrinsics: bool = False
+    # register up to this many covisibility-ready frames in ONE device
+    # dispatch per outer iteration (SURVEY §7.3; the reference registers
+    # one frame at a time — MaxPoint3dFrameId).  1 = sequential.
+    batch_registration: int = 8
     init_id1: int = -1
     init_id2: int = -1
     verbose: bool = True
@@ -113,102 +117,155 @@ class IncrementalMapper:
         self.stats.time_init = time.time() - t_start
 
         num_reg_at_gba = max(2, n_reg0)
-        while True:
+        stop = False
+        while not stop:
             t0 = time.time()
-            nxt = m.next_frame_to_register(o.min_visible)
+            batch = m.ready_frames(
+                o.min_visible, max_batch=max(1, o.batch_registration)
+            )
             self.stats.time_select += time.time() - t0
-            if nxt < 0:
+            if len(batch) == 0:
                 break
             t0 = time.time()
-            ok, n_inl = register.register_frame(
-                m, nxt, o.reg, seed_salt=self._rejections.get(nxt, 0)
-            )
+            if len(batch) == 1:
+                nxt0 = int(batch[0])
+                results = {
+                    nxt0: register.register_frame(
+                        m, nxt0, o.reg,
+                        seed_salt=self._rejections.get(nxt0, 0),
+                    )
+                }
+            else:
+                results = register.register_frames_batch(
+                    m, batch, o.reg, seed_salts=self._rejections
+                )
             self.stats.time_register += time.time() - t0
-            if not ok:
-                m.registered_fail[nxt] = True
-                self.stats.failed += 1
-                self._log(f"register frame {nxt} FAILED ({n_inl} inliers)")
-                if o.stop_when_register_fail:
-                    break
-                continue
-            from . import error_correct as EC
 
-            t0 = time.time()
-            consistent = EC.registration_is_consistent(m, nxt)
-            self.stats.time_consistency += time.time() - t0
-            checked_correction = False
-            if not consistent and o.correct_pose:
-                # An epipolar-inconsistent pose at a well-matched frame is
-                # the loop-closure signature: the PnP pose (drifted camp)
-                # disagrees with the other camp's epipolar geometry.  The
-                # reference routes this into CheckAndCorrectPose
-                # (error_corrector.cc:187-246) rather than rejecting —
-                # dropping the frame would leave the map a chain that no
-                # amount of BA can de-drift.
-                t0 = time.time()
-                if EC.check_and_correct_pose(
-                    m, nxt, reg_opts=o.reg, tri_opts=o.tri
-                ):
-                    self._log(f"frame {nxt}: loop error corrected")
-                    self.stats.corrections += 1
-                    consistent = True
-                else:
-                    consistent = EC.registration_is_consistent(m, nxt)
-                self.stats.time_check += time.time() - t0
-                checked_correction = True
-            if not consistent:
-                # planar-PnP ambiguity / bad registration: undo; retry once
-                # later (more tracks may disambiguate), then fail for good
-                m.deregister_frame(nxt)
-                self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
-                if self._rejections[nxt] >= 2:
+            accepted = []
+            for nxt in (int(f) for f in batch):
+                ok, n_inl = results[nxt]
+                if not ok:
                     m.registered_fail[nxt] = True
                     self.stats.failed += 1
-                self._log(
-                    f"register frame {nxt} REJECTED (epipolar-inconsistent "
-                    f"pose, attempt {self._rejections[nxt]})"
-                )
-                if o.stop_when_register_fail and m.registered_fail[nxt]:
-                    break
-                continue
-            self.stats.registered += 1
+                    self._log(f"register frame {nxt} FAILED ({n_inl} inliers)")
+                    if o.stop_when_register_fail:
+                        stop = True
+                        break
+                    continue
+                from . import error_correct as EC
 
-            if o.correct_pose and not checked_correction:
                 t0 = time.time()
-                if EC.check_and_correct_pose(
-                    m, nxt, reg_opts=o.reg, tri_opts=o.tri
-                ):
-                    self._log(f"frame {nxt}: loop error corrected")
-                    self.stats.corrections += 1
-                self.stats.time_check += time.time() - t0
+                consistent = EC.registration_is_consistent(m, nxt)
+                self.stats.time_consistency += time.time() - t0
+                checked_correction = False
+                if not consistent and o.correct_pose:
+                    # An epipolar-inconsistent pose at a well-matched frame
+                    # is the loop-closure signature: the PnP pose (drifted
+                    # camp) disagrees with the other camp's epipolar
+                    # geometry.  The reference routes this into
+                    # CheckAndCorrectPose (error_corrector.cc:187-246)
+                    # rather than rejecting — dropping the frame would
+                    # leave the map a chain that no amount of BA can
+                    # de-drift.
+                    t0 = time.time()
+                    if EC.check_and_correct_pose(
+                        m, nxt, reg_opts=o.reg, tri_opts=o.tri
+                    ):
+                        self._log(f"frame {nxt}: loop error corrected")
+                        self.stats.corrections += 1
+                        consistent = True
+                    else:
+                        consistent = EC.registration_is_consistent(m, nxt)
+                    self.stats.time_check += time.time() - t0
+                    checked_correction = True
+                if not consistent:
+                    # planar-PnP ambiguity / bad registration: undo; retry
+                    # once later (more tracks may disambiguate), then fail
+                    m.deregister_frame(nxt)
+                    self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
+                    if self._rejections[nxt] >= 2:
+                        m.registered_fail[nxt] = True
+                        self.stats.failed += 1
+                    self._log(
+                        f"register frame {nxt} REJECTED (epipolar-"
+                        f"inconsistent pose, attempt {self._rejections[nxt]})"
+                    )
+                    if o.stop_when_register_fail and m.registered_fail[nxt]:
+                        stop = True
+                        break
+                    continue
+                self.stats.registered += 1
 
-            t0 = time.time()
-            n_new, n_ext = triangulate.triangulate_frame(m, nxt, o.tri)
-            self.stats.time_triangulate += time.time() - t0
+                if o.correct_pose and not checked_correction:
+                    t0 = time.time()
+                    if EC.check_and_correct_pose(
+                        m, nxt, reg_opts=o.reg, tri_opts=o.tri
+                    ):
+                        self._log(f"frame {nxt}: loop error corrected")
+                        self.stats.corrections += 1
+                    self.stats.time_check += time.time() - t0
 
-            t0 = time.time()
-            tri_ids = [
-                int(t) for t in np.unique(m.track_of[nxt]) if t >= 0
-            ]
-            triangulate.filter_tracks(m, tri_ids, o.tri)
-            self.stats.time_filter += time.time() - t0
+                t0 = time.time()
+                n_new, n_ext = triangulate.triangulate_frame(m, nxt, o.tri)
+                self.stats.time_triangulate += time.time() - t0
 
-            t0 = time.time()
-            n_merged = triangulate.merge_frame_tracks(m, nxt, o.tri)
-            self.stats.time_merge += time.time() - t0
+                t0 = time.time()
+                tri_ids = [
+                    int(t) for t in np.unique(m.track_of[nxt]) if t >= 0
+                ]
+                triangulate.filter_tracks(m, tri_ids, o.tri)
+                self.stats.time_filter += time.time() - t0
 
-            t0 = time.time()
-            local = self._local_frames(m, nxt)
-            res = ba_glue.run_ba(
-                m, local, BAOptions(max_iters=o.lba_iters, huber_px=4.0)
-            )
-            self.stats.time_lba += time.time() - t0
+                t0 = time.time()
+                n_merged = triangulate.merge_frame_tracks(m, nxt, o.tri)
+                self.stats.time_merge += time.time() - t0
+                accepted.append(nxt)
+                self._log(
+                    f"frame {nxt}: +{n_new} tracks, {n_ext} extended, "
+                    f"{n_merged} merged, {results[nxt][1]} pnp inliers"
+                )
+                if (o.max_registrations
+                        and self.stats.registered >= o.max_registrations):
+                    stop = True
+                    break
+
+            if accepted:
+                # one LBA over the union of the batch's local bundles
+                # (the reference runs LBA once per single registration)
+                t0 = time.time()
+                local = []
+                seen = set()
+                for nxt in accepted:
+                    for f in self._local_frames(m, nxt):
+                        if f not in seen:
+                            seen.add(f)
+                            local.append(f)
+                # LBA problem bounded like the reference's SetUpLBA
+                # (ba_solver.cc:358-391): residuals come from LOCAL frames
+                # only (no frozen observer fan-in), and points are frozen
+                # unless newly observed and still poorly triangulated.
+                # (The reference compares angle_ [radians] against 5 —
+                # never true — so its effective rule is "frozen unless
+                # observed by the new frame"; we implement the intended
+                # 5-degree gate as well.)
+                nt = m.num_tracks
+                far = m.track_angle[:nt] > np.deg2rad(5.0)
+                new_obs = np.zeros(nt, bool)
+                for nxt in accepted:
+                    t_ids = m.track_of[nxt]
+                    new_obs[t_ids[t_ids >= 0]] = True
+                ba_glue.run_ba(
+                    m, local, BAOptions(max_iters=o.lba_iters, huber_px=4.0),
+                    obs_frames=local, freeze_tracks=far | ~new_obs,
+                )
+                self.stats.time_lba += time.time() - t0
 
             n_reg = int(np.count_nonzero(m.registered))
-            self._log(
-                f"frame {nxt}: +{n_new} tracks, {n_ext} extended, "
-                f"{n_merged} merged, {n_inl} pnp inliers, reg {n_reg}"
-            )
+            if accepted:
+                self._log(
+                    f"batch of {len(batch)}: {len(accepted)} accepted, "
+                    f"reg {n_reg}"
+                )
 
             if n_reg >= o.gba_growth * num_reg_at_gba:
                 t0 = time.time()
@@ -228,8 +285,9 @@ class IncrementalMapper:
                         f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
                     )
 
-            if (o.snapshot_every and o.snapshot_path
-                    and self.stats.registered % o.snapshot_every == 0):
+            if (o.snapshot_every and o.snapshot_path and accepted
+                    and self.stats.registered % o.snapshot_every
+                    < len(accepted)):
                 from ..base import snapshot as SNAP
 
                 SNAP.save_snapshot(m, o.snapshot_path)
@@ -238,7 +296,7 @@ class IncrementalMapper:
                     f"stopping after {self.stats.registered} registrations "
                     f"(max_registrations)"
                 )
-                break
+                stop = True
 
         # final polish: GBA -> filter -> merge sweep -> retriangulate -> GBA
         reg_frames = list(np.nonzero(m.registered)[0])

@@ -51,7 +51,27 @@ def pnp_ransac(key, uv, xyz, mask, threshold, num_hypotheses: int = 256):
 
     Returns (q [4], t [3], inliers [N], num_inliers, success).
     """
+    return _pnp_ransac_impl(key, uv, xyz, mask, threshold, num_hypotheses)
 
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def pnp_ransac_batch(keys, uv, xyz, mask, thresholds,
+                     num_hypotheses: int = 256):
+    """Registration of MANY frames in one dispatch (SURVEY §7.3: batch
+    independent registrations — the reference registers one frame at a
+    time, MaxPoint3dFrameId returns the single best).
+
+    keys [B,2] uint32, uv [B,N,2], xyz [B,N,3], mask [B,N],
+    thresholds [B].  Returns batched (q [B,4], t [B,3], inliers [B,N],
+    num_inliers [B], success [B])."""
+    return jax.vmap(
+        lambda k, u, x, m, th: _pnp_ransac_impl(
+            k, u, x, m, th, num_hypotheses
+        )
+    )(keys, uv, xyz, mask, thresholds)
+
+
+def _pnp_ransac_impl(key, uv, xyz, mask, threshold, num_hypotheses: int):
     def estimate(sampled, sample_valid):
         uv_s, xyz_s = sampled
         q, t, valid = pnp.p3p(xyz_s, uv_s)

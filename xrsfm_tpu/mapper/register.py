@@ -58,8 +58,12 @@ def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOption
     m.q[frame] = np.asarray(q, np.float64)
     m.t[frame] = np.asarray(t, np.float64)
     m.registered[frame] = True
-    # extend tracks with inlier 2D-3D matches (reference: pnp.cc:74-95)
-    inl_np = np.asarray(inl)[:n]
+    _extend_tracks(m, frame, p2d_idx, track_ids, np.asarray(inl)[:n])
+    return True, n_inl
+
+
+def _extend_tracks(m: SfMMap, frame: int, p2d_idx, track_ids, inl_np):
+    """Attach inlier 2D-3D matches to tracks (reference: pnp.cc:74-95)."""
     ks = np.nonzero(inl_np)[0]
     ks = ks[
         (m.track_of[frame][p2d_idx[ks]] < 0) & m.track_valid[track_ids[ks]]
@@ -67,4 +71,65 @@ def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOption
     sel = [k for k in ks if frame not in m.track_obs[int(track_ids[k])]]
     if sel:
         m.add_observations(track_ids[sel], frame, p2d_idx[sel])
-    return True, n_inl
+
+
+def register_frames_batch(
+    m: SfMMap,
+    frames,
+    opts: RegisterOptions = RegisterOptions(),
+    seed_salts=None,
+):
+    """Register MANY frames in ONE device dispatch (SURVEY §7.3; the
+    reference's loop registers exactly one frame per outer iteration).
+
+    All frames are solved against the SAME map snapshot — correct because
+    registration only reads the map; acceptance, pose write-back and
+    track extension happen per frame afterwards.  Returns
+    {frame: (ok, n_inliers)}."""
+    frames = [int(f) for f in frames]
+    seed_salts = seed_salts or {}
+    corr = {}
+    for f in frames:
+        p2d_idx, track_ids = m.search_correspondences(f)
+        corr[f] = (p2d_idx, track_ids)
+    live = [f for f in frames if len(corr[f][0]) >= opts.min_correspondences]
+    out = {f: (False, 0) for f in frames}
+    if not live:
+        return out
+    B = len(live)
+    N = kernels.bucket(max(len(corr[f][0]) for f in live))
+    uv = np.zeros((B, N, 2), np.float32)
+    xyz = np.zeros((B, N, 3), np.float32)
+    mask = np.zeros((B, N), bool)
+    ths = np.zeros(B, np.float32)
+    keys = np.zeros((B, 2), np.uint32)
+    for r, f in enumerate(live):
+        p2d_idx, track_ids = corr[f]
+        n = len(p2d_idx)
+        uv[r, :n] = m.kps_norm[f][p2d_idx]
+        xyz[r, :n] = m.track_xyz[track_ids]
+        mask[r, :n] = True
+        focal = float(m.cameras[int(m.cam_of_frame[f])][0])
+        ths[r] = (opts.ransac_px / focal) ** 2
+        seed = ((f + seed_salts.get(f, 0) * 65537) * 2654435761) & 0x7FFFFFFF
+        keys[r] = np.asarray(jax.random.PRNGKey(seed))
+    q_b, t_b, inl_b, ninl_b, ok_b = jax.device_get(
+        kernels.pnp_ransac_batch(
+            keys, uv, xyz, mask, ths, num_hypotheses=opts.num_hypotheses
+        )
+    )
+    for r, f in enumerate(live):
+        p2d_idx, track_ids = corr[f]
+        n = len(p2d_idx)
+        n_inl = int(ninl_b[r])
+        if not bool(ok_b[r]) or n_inl < max(
+            opts.min_correspondences, int(opts.min_inlier_ratio * n)
+        ):
+            out[f] = (False, n_inl)
+            continue
+        m.q[f] = np.asarray(q_b[r], np.float64)
+        m.t[f] = np.asarray(t_b[r], np.float64)
+        m.registered[f] = True
+        _extend_tracks(m, f, p2d_idx, track_ids, np.asarray(inl_b[r])[:n])
+        out[f] = (True, n_inl)
+    return out

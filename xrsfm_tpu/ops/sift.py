@@ -175,8 +175,10 @@ def _extract_octave(gauss, dogs, octave_scale, opts: SiftOptions, k_pool: int):
     xs = (rem % W).astype(jnp.float32)
     valid = vals > 0
 
-    # subpixel refinement via 3D quadratic fit (x, y only; scale offset
-    # folded into sigma interpolation) — vectorized 2x2 solve
+    # subpixel refinement via full 3D quadratic fit over (x, y, scale) —
+    # the scale-axis offset refines sigma between DoG levels (reference:
+    # SiftGPU refines all three axes, ProgramCU.cu keypoint refinement;
+    # x/y-only refinement was review finding r1-missing#4)
     def refine(b):
         d = dogs[b]  # [L+2, H, W]
         l_i = lvl[b] + 1
@@ -188,19 +190,38 @@ def _extract_octave(gauss, dogs, octave_scale, opts: SiftOptions, k_pool: int):
 
         gx = 0.5 * (g(0, 0, 1) - g(0, 0, -1))
         gy = 0.5 * (g(0, 1, 0) - g(0, -1, 0))
-        hxx = g(0, 0, 1) + g(0, 0, -1) - 2 * g(0, 0, 0)
-        hyy = g(0, 1, 0) + g(0, -1, 0) - 2 * g(0, 0, 0)
+        gl = 0.5 * (g(1, 0, 0) - g(-1, 0, 0))
+        c0 = g(0, 0, 0)
+        hxx = g(0, 0, 1) + g(0, 0, -1) - 2 * c0
+        hyy = g(0, 1, 0) + g(0, -1, 0) - 2 * c0
+        hll = g(1, 0, 0) + g(-1, 0, 0) - 2 * c0
         hxy = 0.25 * (g(0, 1, 1) + g(0, -1, -1) - g(0, 1, -1) - g(0, -1, 1))
-        det = hxx * hyy - hxy * hxy
+        hxl = 0.25 * (g(1, 0, 1) + g(-1, 0, -1) - g(1, 0, -1) - g(-1, 0, 1))
+        hyl = 0.25 * (g(1, 1, 0) + g(-1, -1, 0) - g(1, -1, 0) - g(-1, 1, 0))
+        # closed-form 3x3 solve H @ o = -grad via the adjugate
+        A = hyy * hll - hyl * hyl
+        Bm = -(hxy * hll - hyl * hxl)
+        C = hxy * hyl - hyy * hxl
+        det = hxx * A + hxy * Bm + hxl * C
         det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        ox = -(hyy * gx - hxy * gy) / det
-        oy = -(hxx * gy - hxy * gx) / det
+        ox = -(A * gx + Bm * gy + C * gl) / det
+        oy = -(
+            Bm * gx + (hxx * hll - hxl * hxl) * gy
+            - (hxx * hyl - hxy * hxl) * gl
+        ) / det
+        ol = -(
+            C * gx - (hxx * hyl - hxy * hxl) * gy
+            + (hxx * hyy - hxy * hxy) * gl
+        ) / det
         ox = jnp.clip(ox, -0.5, 0.5)
         oy = jnp.clip(oy, -0.5, 0.5)
-        return xs[b] + ox, ys[b] + oy
+        ol = jnp.clip(ol, -0.5, 0.5)
+        return xs[b] + ox, ys[b] + oy, ol
 
-    xr, yr = jax.vmap(refine)(jnp.arange(B))
-    sigma = opts.sigma0 * (2.0 ** ((lvl + 1) / opts.levels_per_octave))
+    xr, yr, ol = jax.vmap(refine)(jnp.arange(B))
+    sigma = opts.sigma0 * (
+        2.0 ** ((lvl + 1 + ol) / opts.levels_per_octave)
+    )
     xy_full = jnp.stack([xr, yr], -1) * octave_scale
     return xy_full, sigma * octave_scale, vals, lvl, valid
 
@@ -243,6 +264,12 @@ def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")  # [P,P]
     wgt = jnp.exp(-(ox**2 + oy**2) / (2 * (P / 2.0) ** 2))
 
+    # orientation window: Lowe's sigma_w = 1.5 sigma_kp = 2 grid cells at
+    # 0.75-sigma spacing — the full-patch window made the estimate depend
+    # on far-field content that rotates in and out of the square patch
+    # (measured ~15 deg orientation MAD between 45-degree-rotated views)
+    wgt_ori = jnp.exp(-(ox**2 + oy**2) / (2 * 2.0**2))
+
     def per_kp_orient(x, y, sp):
         v = _bilinear_gather(gauss_lvl, y + oy * sp, x + ox * sp)  # [P,P]
         gx, gy = _patch_gradients(v)
@@ -250,8 +277,11 @@ def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
         ang = jnp.arctan2(gy, gx)  # [-pi, pi]
         bins = (ang + jnp.pi) / (2 * jnp.pi) * opts.ori_bins  # [0, 36)
         oh = _soft_onehot(bins.reshape(-1), opts.ori_bins, wrap=True)
-        hist = (mag * wgt).reshape(-1) @ oh  # [36]
-        for _ in range(2):
+        hist = (mag * wgt_ori).reshape(-1) @ oh  # [36]
+        # Lowe smooths the orientation histogram 6x; 2 passes left ~15
+        # degrees of orientation MAD between matched views (measured),
+        # costing matches at the ratio test
+        for _ in range(6):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         peak = jnp.argmax(hist)
         l_ = hist[(peak - 1) % opts.ori_bins]
@@ -270,7 +300,12 @@ def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
         v = _bilinear_gather(gauss_lvl, y + ry * sp, x + rx * sp)
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)
-        ang = jnp.arctan2(gy, gx) - theta
+        # the patch is sampled on the ROTATED grid, so finite differences
+        # along the patch axes are already descriptor-frame gradients —
+        # subtracting theta here again would shift the orientation bins
+        # by the inter-view rotation (measured: 45-degree warp collapsed
+        # verified matches 188 -> 16 vs cv2.SIFT before this fix)
+        ang = jnp.arctan2(gy, gx)
         w = (mag * wgt).reshape(-1)  # [S]
         # spatial soft bins: 4x4 grid over the (unrotated) patch coords
         bx = (ox + (P - 1) / 2.0) / (P / 4.0) - 0.5  # bin coords [-0.5, 3.5)
