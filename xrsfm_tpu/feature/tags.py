@@ -136,6 +136,153 @@ def estimate_scale_from_corners(
     return float(np.median(scales)), poses
 
 
+def joint_refine_scale(
+    m: SfMMap,
+    detections: Dict[int, Dict[int, np.ndarray]],
+    tag_corners: Dict[int, np.ndarray],
+    scale0: float,
+    poses0: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    tag_length: float,
+    iters: int = 40,
+) -> float:
+    """Joint refinement pass (reference: the SECOND Ceres solve of
+    tag_refine, tag_extract.hpp:237-265): with camera poses FIXED,
+    jointly optimize {per-tag pose, global log-scale, tag corner world
+    points} under (a) the reprojection of every corner observation and
+    (b) the tag-shape residual corner - s*(R_tag c_k + t_tag).  The
+    closed-form per-tag Umeyama fit reads only the triangulated corners;
+    re-estimating the corners against ALL observations averages their
+    triangulation noise into the scale.  Dense LM (state is tiny:
+    19 dofs per tag + 1).  Returns the refined scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import camera as Cam
+    from ..utils import geometry as G
+
+    tag_ids = [t for t in sorted(tag_corners) if t in poses0
+               and not np.any(np.isnan(tag_corners[t]))]
+    if not tag_ids:
+        return scale0
+    T = len(tag_ids)
+    canon = canonical_corners(tag_length)  # [4,3]
+
+    # observation table: corner world-point index [O], fixed pose [O],
+    # normalized uv [O,2]
+    rows_q, rows_t, rows_uv, rows_pt = [], [], [], []
+    for fid, tags in detections.items():
+        if not m.registered[fid]:
+            continue
+        params = m.cameras[int(m.cam_of_frame[fid])]
+        for ti, tag_id in enumerate(tag_ids):
+            if tag_id not in tags:
+                continue
+            uvn = np.asarray(
+                Cam.image_to_normalized(
+                    jnp.asarray(params, jnp.float32),
+                    jnp.asarray(tags[tag_id], jnp.float32),
+                )
+            )
+            for k in range(4):
+                rows_q.append(m.q[fid])
+                rows_t.append(m.t[fid])
+                rows_uv.append(uvn[k])
+                rows_pt.append(ti * 4 + k)
+    if not rows_pt:
+        return scale0
+    obs_q = jnp.asarray(np.stack(rows_q), jnp.float32)
+    obs_t = jnp.asarray(np.stack(rows_t), jnp.float32)
+    obs_uv = jnp.asarray(np.stack(rows_uv), jnp.float32)
+    obs_pt = jnp.asarray(np.asarray(rows_pt, np.int32))
+
+    # initial state: corners from triangulation, tag poses from the
+    # closed-form fit (R, t are in world units; the shape residual maps
+    # canon meters through s)
+    x_pts0 = np.stack([tag_corners[t] for t in tag_ids]).reshape(-1, 3)
+    q_tag0 = np.stack(
+        [G.rotmat_to_quat_np(poses0[t][0]) for t in tag_ids]
+    )
+    t_tag0 = np.stack([poses0[t][1] for t in tag_ids]) / max(scale0, 1e-9)
+    canon_j = jnp.asarray(canon, jnp.float32)
+
+    def unflatten(x):
+        # [T*4*3 pts][T*3 rotvec][T*3 t][1 log_s]
+        n1 = T * 12
+        pts = x[:n1].reshape(T * 4, 3)
+        w = x[n1: n1 + T * 3].reshape(T, 3)
+        tt = x[n1 + T * 3: n1 + T * 6].reshape(T, 3)
+        log_s = x[-1]
+        return pts, w, tt, log_s
+
+    q_tag0_j = jnp.asarray(q_tag0, jnp.float32)
+    # shape residual is world-unit sized while reprojection is
+    # normalized-plane sized; weight it in tag-size units and strongly —
+    # tags are rigid, so the shape term should act near-hard and the
+    # scale be driven by the reprojections through it
+    w_shape = 10.0 / max(scale0 * tag_length, 1e-9)
+
+    def residuals(x):
+        pts, w, tt, log_s = unflatten(x)
+        s = jnp.exp(log_s)
+        # reprojection of corner world points through fixed poses
+        pc = G.quat_rotate(obs_q, pts[obs_pt]) + obs_t
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        r_proj = pc[:, :2] / z[:, None] - obs_uv
+        # tag shape: corner - s*(R c + t) for each tag/corner
+        q_tag = G.quat_mul(q_tag0_j, jax.vmap(G.so3_exp_quat)(w))
+        shape = s * (
+            jax.vmap(
+                lambda qq, ttt: G.quat_rotate(qq[None], canon_j) + ttt[None]
+            )(q_tag, tt).reshape(T * 4, 3)
+        )
+        r_shape = (pts - shape) * w_shape
+        return jnp.concatenate([r_proj.reshape(-1), r_shape.reshape(-1)])
+
+    x0 = jnp.asarray(
+        np.concatenate(
+            [
+                x_pts0.reshape(-1),
+                np.zeros(T * 3),
+                t_tag0.reshape(-1),
+                [np.log(max(scale0, 0.2))],
+            ]
+        ),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def solve(x0):
+        def cost(x):
+            r = residuals(x)
+            return jnp.sum(r * r)
+
+        def body(carry, _):
+            x, lam, c = carry
+            J = jax.jacfwd(residuals)(x)
+            r = residuals(x)
+            H = J.T @ J
+            g = J.T @ r
+            A = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(len(x))
+            dx = -jnp.linalg.solve(A, g)
+            x2 = x + dx
+            c2 = cost(x2)
+            better = c2 < c
+            return (
+                jnp.where(better, x2, x),
+                jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-10, 1e8),
+                jnp.where(better, c2, c),
+            ), None
+
+        (x, _, c), _ = jax.lax.scan(
+            body, (x0, jnp.float32(1e-4), cost(x0)), None, length=iters
+        )
+        return x, c
+
+    x, _ = solve(x0)
+    log_s = float(np.asarray(x)[-1])
+    return float(np.exp(np.clip(log_s, np.log(0.2), 20.0)))
+
+
 def apply_metric_scale(m: SfMMap, scale: float):
     """Divide all translations and points by the scale so one unit = one
     meter (reference: tag_extract.hpp:269-276)."""

@@ -43,6 +43,11 @@ def main(images_dir: str, model_dir: str, tag_length: float = 0.113):
     if scale <= 0:
         print("[estimate_scale] no usable tags; model unchanged", flush=True)
         return None
+    # joint refinement against all corner reprojections (reference:
+    # second Ceres solve, tag_extract.hpp:237-265)
+    scale = T.joint_refine_scale(
+        m, detections, corners, scale, poses, tag_length
+    )
     T.apply_metric_scale(m, scale)
     map_to_colmap(m, model_dir)
     print(
