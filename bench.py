@@ -6,11 +6,13 @@ observations) — the dominant cost of the reference's reconstruction stage
 (SURVEY.md §3.2: LBA/KGBA Ceres solves dominate; reference runs Ceres
 SPARSE_SCHUR with 8 CPU threads, src/optimization/ba_solver.cc:70-77).
 
-vs_baseline compares against an estimated 10 LM iterations/s for the
-reference's Ceres setup at this problem size on its 8-thread CPU
-configuration (no published reference number exists — BASELINE.md notes
-"published": {} — so the denominator is a documented order-of-magnitude
-estimate, kept fixed across rounds for comparability).
+vs_baseline divides by a MEASURED CPU anchor: the same solver on this
+host's 2 vCPUs (secondary.cpu_anchor_iters_per_s; baseline_kind says
+which denominator was used — the documented 10-iters/s Ceres estimate
+is only the fallback if the CPU-anchor subprocess fails).  A second
+size point (~1k cameras / ~1M observations) stresses the Schur design
+at scale; tunnel_overhead_s / tunnel_degraded expose when the axon
+tunnel's per-dispatch latency — not the chip — bounds the number.
 
 Also reports secondary metrics inside the JSON line: descriptor-matching
 pair throughput (the matching stage's hot op) and the BA problem's
@@ -142,8 +144,8 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
     # throughput.
     lam = jnp.float32(1e-4)
 
-    def timed(length, reps=2):
-        _, _, cost = lm_run(prob, lam, length)  # compile
+    def timed(length, reps=3):
+        _, _, cost = lm_run(prob, lam, length)  # compile + warm-up
         final = float(cost)
         best = float("inf")
         for _ in range(reps):
@@ -156,7 +158,10 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
     t_n, final_cost = timed(iters)
     t_2n, _ = timed(2 * iters)
     dt = max(t_2n - t_n, 1e-6)
-    return iters / dt, len(obs_cam), final_cost
+    # fixed dispatch+fetch overhead per run — the tunnel's share; grows
+    # over long sessions and is the telltale of a degraded tunnel
+    overhead = max(2.0 * t_n - t_2n, 0.0)
+    return iters / dt, len(obs_cam), final_cost, overhead
 
 
 def bench_matching(n_feats=4096, batch=16, reps=10, seed=0):
@@ -182,21 +187,85 @@ def bench_matching(n_feats=4096, batch=16, reps=10, seed=0):
     return batch * reps / dt
 
 
+def measure_cpu_anchor(timeout_s=420):
+    """Measured SAME-solver CPU throughput on this host's 2 vCPUs — the
+    real denominator for vs_baseline (no published reference number
+    exists; an invented Ceres estimate was review finding r1-weak#2).
+    Subprocess so the CPU backend can be selected before first backend
+    use.  Returns iters/s or None."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from xrsfm_tpu import enable_compilation_cache\n"
+        "enable_compilation_cache()\n"
+        "import bench\n"
+        "its, _, _, _ = bench.bench_ba(iters=4)\n"
+        "print('CPU_ANCHOR', its)\n"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_ANCHOR"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
+
+
 def run_benchmarks():
-    ba_iters_per_s, n_obs, cost = bench_ba()
+    ba_iters_per_s, n_obs, cost, overhead = bench_ba()
+    # large size point: ~1k cameras / ~1M observations — where the Schur
+    # design is actually stressed (review finding r1-weak#9)
+    ba_large, n_obs_l, cost_l, _ = bench_ba(
+        n_cams=1024, n_pts=160000, obs_per_pt=7, iters=12
+    )
     pairs_per_s = bench_matching()
-    baseline_iters_per_s = 10.0  # documented estimate, see module docstring
+    cpu_anchor = measure_cpu_anchor()
+    if cpu_anchor and cpu_anchor > 0:
+        vs_baseline = ba_iters_per_s / cpu_anchor
+        baseline_kind = "measured_cpu_2vcpu_same_solver"
+    else:
+        vs_baseline = ba_iters_per_s / 10.0
+        baseline_kind = "estimate_ceres_8thread_10its"
+    # tunnel-health: the per-run fixed overhead should be a small
+    # fraction of the measured compute window; flag loudly when not
+    per_run_s = 30.0 / max(ba_iters_per_s, 1e-9)
+    tunnel_degraded = overhead > max(3.0 * per_run_s, 2.0)
     result = {
         "metric": "ba_lm_iters_per_s",
         "value": round(ba_iters_per_s, 3),
         "unit": "LM iters/s (200 cams, 20k pts, ~140k obs)",
-        "vs_baseline": round(ba_iters_per_s / baseline_iters_per_s, 3),
+        "vs_baseline": round(vs_baseline, 3),
         "secondary": {
+            "ba_large_iters_per_s": round(ba_large, 3),
+            "ba_large_num_obs": int(n_obs_l),
+            "ba_large_final_cost": round(cost_l, 2),
             "match_pairs_per_s_4096feat": round(pairs_per_s, 2),
             "ba_num_obs": int(n_obs),
             "ba_final_cost": round(cost, 2),
+            "cpu_anchor_iters_per_s": (
+                round(cpu_anchor, 3) if cpu_anchor else None
+            ),
+            "baseline_kind": baseline_kind,
+            "tunnel_overhead_s": round(overhead, 3),
+            "tunnel_degraded": bool(tunnel_degraded),
         },
     }
+    if tunnel_degraded:
+        import sys
+
+        sys.stderr.write(
+            "WARNING: tunnel per-dispatch overhead %.2fs dwarfs the "
+            "compute window — the recorded number reflects the tunnel's "
+            "mood, not the chip\n" % overhead
+        )
     print(json.dumps(result), flush=True)
 
 
@@ -220,7 +289,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=1500,
             )
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
