@@ -31,17 +31,24 @@ DEFAULT_SIFT = SiftOptions(
 
 def get_features(
     images_dir: str, ftr_path: str, image_names: List[str], verbose=True,
-    sift_opts: SiftOptions = DEFAULT_SIFT,
+    sift_opts: SiftOptions = DEFAULT_SIFT, feature_type: str = "sift",
 ) -> List[IOF.FrameFeatures]:
-    """Extract (or load cached) SIFT features.
-    (reference: GetFeatures, run_matching.cc:15-33)."""
+    """Extract (or load cached) features.  feature_type "sift" (default)
+    or "orb" (reference: GetFeatures run_matching.cc:15-33; the USE_ORB
+    compile-time path of feature_extraction.cc:21-56 is a runtime option
+    here — ORB descriptors are 32 bytes, matched by Hamming distance)."""
     if os.path.exists(ftr_path):
         feats = IOF.read_features(ftr_path)
         if len(feats) == len(image_names):
             return feats
     import cv2
 
-    ex = SiftExtractor(sift_opts)
+    if feature_type == "orb":
+        from ..ops.orb import OrbExtractor
+
+        ex = OrbExtractor()
+    else:
+        ex = SiftExtractor(sift_opts)
     feats = []
     t0 = time.time()
     for i, name in enumerate(image_names):
@@ -53,6 +60,10 @@ def get_features(
             )
             continue
         kps, descs = ex.extract(img)
+        if feature_type == "orb" and descs.shape[1] == 32:
+            # ftr.bin stores 128-byte rows (reference format); pad the
+            # 32-byte ORB descriptors — Hamming consumers slice [:, :32]
+            descs = np.pad(descs, ((0, 0), (0, 96)))
         feats.append(IOF.FrameFeatures(name, kps, descs))
         if verbose:
             print(f"[extract] {i + 1}/{len(image_names)} {name}: "
