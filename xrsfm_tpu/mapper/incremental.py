@@ -19,6 +19,7 @@ import numpy as np
 from . import ba_glue, initialize, register, triangulate
 from ..base.map import SfMMap
 from ..optim.ba import BAOptions
+from ..utils import geometry as G
 
 
 @dataclasses.dataclass
@@ -143,12 +144,27 @@ class IncrementalMapper:
 
             accepted = []
             for nxt in (int(f) for f in batch):
-                ok, n_inl = results[nxt]
+                ok, n_inl, n_cand = results[nxt]
                 if not ok:
-                    m.registered_fail[nxt] = True
-                    self.stats.failed += 1
-                    self._log(f"register frame {nxt} FAILED ({n_inl} inliers)")
-                    if o.stop_when_register_fail:
+                    # Retry later rather than blacklisting on the first
+                    # failure: the reference revisits registration
+                    # candidates as the map matures (RegisterNextImage
+                    # keeps frames in the candidate pool), and a frontier
+                    # frame attempted with 1-2 registered neighbors often
+                    # succeeds once its successors add tracks.  A
+                    # permanently-dead frontier frame starves every frame
+                    # behind it (measured: one weak frame killed the last
+                    # 339 frames of a 1000-frame circuit).
+                    self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
+                    if self._rejections[nxt] >= 3:
+                        m.registered_fail[nxt] = True
+                        self.stats.failed += 1
+                    self._log(
+                        f"register frame {nxt} FAILED "
+                        f"({n_inl}/{n_cand} inliers, "
+                        f"attempt {self._rejections[nxt]})"
+                    )
+                    if o.stop_when_register_fail and m.registered_fail[nxt]:
                         stop = True
                         break
                     continue
@@ -230,6 +246,35 @@ class IncrementalMapper:
                     break
 
             if accepted:
+                # Refresh low-parallax tracks of the batch's frames with a
+                # full-baseline re-triangulation (ONE dispatch).  Points
+                # keep their creation-time depth until BA frees them, and
+                # a depth fitted from a short forward-motion window is
+                # biased ~0.1-0.2% short; registering the next frame
+                # against biased depths shrinks the step, which shrinks
+                # the next baseline — measured on a 1000-frame circuit,
+                # the compounding collapsed map scale to 1% of truth by
+                # frame 650 and starved registration.  Re-fitting from
+                # the spread of each track's observations removes the
+                # bias as soon as the baseline exists (reference:
+                # ReTriangulate, track_processor.cc:373-424, plus its
+                # angle-aware FindLocalBundle, ba_solver.cc:393-493).
+                t0 = time.time()
+                fresh = set()
+                nt = m.num_tracks
+                for nxt in accepted:
+                    t_ids = m.track_of[nxt]
+                    t_ids = t_ids[t_ids >= 0]
+                    low = t_ids[
+                        m.track_angle[t_ids] < np.deg2rad(10.0)
+                    ]
+                    fresh.update(int(t) for t in low)
+                if fresh:
+                    triangulate.retriangulate(
+                        m, sorted(fresh), o.tri
+                    )
+                self.stats.time_triangulate += time.time() - t0
+
                 # one LBA over the union of the batch's local bundles
                 # (the reference runs LBA once per single registration)
                 t0 = time.time()
@@ -312,8 +357,13 @@ class IncrementalMapper:
                 precise=hard,
             )
             for _round in range(2 if hard else 1):
-                ba_glue.run_ba(m, reg_frames, polish,
-                               optimize_intrinsics=o.refine_intrinsics)
+                pres = ba_glue.run_ba(m, reg_frames, polish,
+                                      optimize_intrinsics=o.refine_intrinsics)
+                if pres is not None:
+                    self._log(
+                        f"polish GBA round {_round}: cost "
+                        f"{pres.initial_cost:.1f} -> {pres.final_cost:.1f}"
+                    )
             import dataclasses as _dc
 
             tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)
@@ -323,11 +373,16 @@ class IncrementalMapper:
             # once GBA has settled the geometry
             triangulate.merge_all_tracks(m, None, self.opts.tri)
             n_rt = triangulate.retriangulate(m, None, self.opts.tri)
-            ba_glue.run_ba(
+            fres = ba_glue.run_ba(
                 m, reg_frames,
                 BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0),
                 optimize_intrinsics=o.refine_intrinsics,
             )
+            if fres is not None:
+                self._log(
+                    f"polish GBA final: cost "
+                    f"{fres.initial_cost:.1f} -> {fres.final_cost:.1f}"
+                )
             triangulate.filter_tracks(m, None, tight)
             self.stats.time_gba += time.time() - t0
             if n_rt:
@@ -355,9 +410,35 @@ class IncrementalMapper:
         return True
 
     def _local_frames(self, m: SfMMap, frame: int):
-        """Local bundle = the frame + top covisible neighbors
-        (reference: CovisibilityNeibors + FindLocalBundle,
-        ba_solver.cc:393-521)."""
-        neigh, _ = m.covisible_frames(frame)
-        local = [frame] + [int(f) for f in neigh[: self.opts.lba_frames]]
+        """Local bundle = the frame + covisible neighbors chosen for
+        covisibility AND baseline (reference: FindLocalBundle,
+        ba_solver.cc:393-521, which walks triangulation-angle thresholds
+        6°/k to prefer well-separated overlapping images).
+
+        Nearest neighbors alone give a short-baseline bundle that cannot
+        observe forward-motion scale drift; half the slots go to the
+        most distant (largest-baseline) frames among the well-covisible
+        ones, using camera-center distance as the angle proxy."""
+        neigh, cnt = m.covisible_frames(frame)
+        k = self.opts.lba_frames
+        neigh = [int(f) for f in neigh]
+        if len(neigh) <= k:
+            return [frame] + neigh
+        n_near = max(1, k // 2)
+        local = [frame] + neigh[:n_near]
+        cand = [
+            f for f, c in zip(neigh[n_near:], cnt[n_near:])
+            if c >= 0.25 * int(cnt[0])
+        ]
+        if cand:
+            c0 = G.pose_center_np(m.q[frame], m.t[frame])
+            cc = np.stack([G.pose_center_np(m.q[f], m.t[f]) for f in cand])
+            d = np.linalg.norm(cc - c0, axis=1)
+            for j in np.argsort(-d)[: k - n_near]:
+                local.append(cand[int(j)])
+        for f in neigh[n_near:]:
+            if len(local) >= k + 1:
+                break
+            if f not in local:
+                local.append(f)
         return local

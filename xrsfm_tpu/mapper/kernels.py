@@ -193,6 +193,25 @@ def reproj_errors_batch(q, t, uv, xyz):
     return err, z
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_poses_batch(q, t, uv, xyz, w, huber_delta, iters: int = 10):
+    """Motion-only pose refinement for MANY frames in one dispatch:
+    vmapped LM on Huber-weighted normalized reprojection with the 3D
+    points held fixed (ops/pnp.refine_pose per row).
+
+    q [B,4], t [B,3], uv [B,N,2] normalized, xyz [B,N,3], w [B,N],
+    huber_delta [B] (normalized units; 0 masks a slot out via w).  Used
+    to re-fit non-keyframe poses against the structure after KGBA /
+    pose-graph corrections moved the keyframes (the reference's
+    UpdateByRefFrame propagation alone leaves them at stale relative
+    offsets)."""
+    return jax.vmap(
+        lambda qi, ti, uvi, xi, wi, hi: pnp.refine_pose(
+            qi, ti, uvi, xi, wi, iters=iters, huber_delta=hi
+        )
+    )(q, t, uv, xyz, w, huber_delta)
+
+
 # ---------------------------------------------------------------------------
 # two-view initialization
 # ---------------------------------------------------------------------------

@@ -45,13 +45,20 @@ def _ensure_fields(m: SfMMap):
         m.ref_rel_t = np.vstack([m.ref_rel_t, np.zeros((extra, 3))])
 
 
-def keyframe_selection(m: SfMMap) -> int:
+def keyframe_selection(m: SfMMap, sequential: bool = True) -> int:
     """Demote redundant keyframes.  Returns number of demotions.
 
     Vectorized: per-track keyframe-observation counts come from one
     bincount over the COO observation table, updated incrementally as
     frames are demoted (the reference's sequential semantics — each
-    demotion affects later redundancy checks — are preserved)."""
+    demotion affects later redundancy checks — are preserved).
+
+    Includes the reference's step-3 connectivity guard
+    (base/map.cc:475-498): a frame may be demoted only if the covisible
+    keyframes straddling it stay DIRECTLY connected by >= 200 shared
+    observations.  Without it, cascade demotion strips 50-frame bands
+    from a 250-frame circuit (measured: 4 disconnected keyframe
+    components), which poisons both KGBA and the loop pose graph."""
     _ensure_fields(m)
     demoted = 0
     # per-track count of observations from registered keyframes
@@ -63,6 +70,8 @@ def keyframe_selection(m: SfMMap) -> int:
     for f in range(m.num_frames):
         if not m.registered[f] or not m.is_keyframe[f]:
             continue
+        if f in (m.init_id1, m.init_id2):  # reference: map.cc:441-442
+            continue
         p2d, tids = m.frame_observations(f)
         if len(p2d) < _MIN_OBS_DEMOTE:
             continue
@@ -70,6 +79,8 @@ def keyframe_selection(m: SfMMap) -> int:
         seen_by_others = per_track_kf[tids] - 1
         redundant = int(np.count_nonzero(seen_by_others >= _SEEN_BY_OTHERS))
         if redundant < _REDUNDANT_RATIO * len(p2d):
+            continue
+        if sequential and not _straddle_connected(m, f):
             continue
         # pick the covisible keyframe with most shared tracks as reference
         neigh, counts = m.covisible_frames(f)
@@ -92,6 +103,26 @@ def keyframe_selection(m: SfMMap) -> int:
     return demoted
 
 
+def _straddle_connected(m: SfMMap, f: int) -> bool:
+    """Reference step-3 guard (base/map.cc:475-498): every consecutive
+    pair of covisible keyframes (id1 < f < id2) must share >=
+    _MIN_OBS_DEMOTE tracks directly, or demoting f would cut the
+    sequential keyframe chain."""
+    neigh, _counts = m.covisible_frames(f)
+    covis_kf = sorted(
+        int(f2) for f2 in neigh if m.is_keyframe[int(f2)] and int(f2) != f
+    )
+    for id1, id2 in zip(covis_kf, covis_kf[1:]):
+        if id1 < f < id2:
+            t1 = m.track_of[id1]
+            t1 = t1[t1 >= 0]
+            t2 = m.track_of[id2]
+            t2 = t2[t2 >= 0]
+            if len(np.intersect1d(t1, t2)) < _MIN_OBS_DEMOTE:
+                return False
+    return True
+
+
 def _store_rel_pose(m: SfMMap, f: int, ref: int):
     # host numpy: a device call here costs a tunnel round-trip per frame
     q_rel, t_rel = G.pose_relative_np(m.q[f], m.t[f], m.q[ref], m.t[ref])
@@ -99,19 +130,85 @@ def _store_rel_pose(m: SfMMap, f: int, ref: int):
     m.ref_rel_t[f] = t_rel
 
 
-def update_by_ref_frame(m: SfMMap):
+def update_by_ref_frame(m: SfMMap, ref_scale=None):
     """Re-anchor non-keyframes after their reference keyframes moved
-    (reference: UpdateByRefFrame, base/map.cc:642-663)."""
+    (reference: UpdateByRefFrame, base/map.cc:642-663).
+
+    ref_scale (optional, [num_frames]): per-keyframe local map scale
+    solved by the scale pose graph (pose_graph.py residual
+    r_t = (t_i - R_ij t_j) - s_i * t_hat_ij, mirroring the reference's
+    ScaleCost).  The solved keyframe lattice is rescaled by s_i, so the
+    stored relative translation to the ref keyframe must be rescaled the
+    same way — re-anchoring with the unscaled offset leaves every
+    non-keyframe at its pre-correction distance and makes the corrected
+    map internally inconsistent (measured: 9.2M reprojection cost that
+    120 LM iterations could not undo; the reference equivalently
+    re-emits points and frames through the solved scale,
+    ba_solver.cc:269-327)."""
     _ensure_fields(m)
     for f in range(m.num_frames):
         if not m.registered[f] or m.is_keyframe[f] or m.ref_frame[f] < 0:
             continue
         ref = int(m.ref_frame[f])
+        s = 1.0 if ref_scale is None else float(ref_scale[ref])
         q, t = G.pose_compose_np(
-            m.ref_rel_q[f], m.ref_rel_t[f], m.q[ref], m.t[ref]
+            m.ref_rel_q[f], s * m.ref_rel_t[f], m.q[ref], m.t[ref]
         )
         m.q[f] = q
         m.t[f] = t
+
+
+def motion_only_refine(m: SfMMap, frames, iters: int = 10,
+                       huber_px: float = 4.0) -> int:
+    """Re-fit the poses of `frames` against the CURRENT structure
+    (points fixed) — one vmapped device dispatch for all frames.
+
+    The ref-frame propagation (update_by_ref_frame) re-anchors a
+    non-keyframe by its stored relative pose, which is stale by exactly
+    the amount KGBA moved the map between two keyframe selections;
+    those poses are never in any later keyframe problem, so the error
+    accumulates silently (measured: 957k reprojection cost / ~3 px RMS
+    on a 247-frame circuit whose keyframe-only cost was at the noise
+    floor).  The reference shares this gap (UpdateByRefFrame,
+    base/map.cc:642-663); a batched motion-only solve closes it at the
+    cost of one dispatch."""
+    from . import kernels
+
+    frames = [int(f) for f in frames if m.registered[f]]
+    rows = []
+    for f in frames:
+        t_ids = m.track_of[f]
+        p2d = np.nonzero(t_ids >= 0)[0]
+        p2d = p2d[m.track_valid[t_ids[p2d]]]
+        if len(p2d) >= 6:
+            rows.append((f, p2d, t_ids[p2d]))
+    if not rows:
+        return 0
+    B = len(rows)
+    N = kernels.bucket(max(len(p) for _, p, _ in rows))
+    q = np.zeros((B, 4), np.float32)
+    t = np.zeros((B, 3), np.float32)
+    uv = np.zeros((B, N, 2), np.float32)
+    xyz = np.zeros((B, N, 3), np.float32)
+    w = np.zeros((B, N), np.float32)
+    hd = np.zeros(B, np.float32)
+    for i, (f, p2d, tids) in enumerate(rows):
+        n = len(p2d)
+        q[i] = m.q[f]
+        t[i] = m.t[f]
+        uv[i, :n] = m.kps_norm[f][p2d]
+        xyz[i, :n] = m.track_xyz[tids]
+        w[i, :n] = 1.0
+        hd[i] = huber_px / float(m.cameras[int(m.cam_of_frame[f])][0])
+    import jax
+
+    q2, t2 = jax.device_get(
+        kernels.refine_poses_batch(q, t, uv, xyz, w, hd, iters=iters)
+    )
+    for i, (f, _, _) in enumerate(rows):
+        m.q[f] = np.asarray(q2[i], np.float64)
+        m.t[f] = np.asarray(t2[i], np.float64)
+    return len(rows)
 
 
 def kgba(
@@ -132,6 +229,13 @@ def kgba(
     res = ba_glue.run_ba(m, keyframes, opts, obs_frames=keyframes,
                          optimize_intrinsics=optimize_intrinsics)
     update_by_ref_frame(m)
+    # motion-only re-fit of the propagated non-keyframes against the
+    # KGBA structure (see motion_only_refine docstring)
+    nonkf = [
+        f for f in range(m.num_frames)
+        if m.registered[f] and not m.is_keyframe[f]
+    ]
+    motion_only_refine(m, nonkf, huber_px=opts.huber_px)
     if tri_opts is not None:
         triangulate.filter_tracks(m, None, tri_opts)
     return res

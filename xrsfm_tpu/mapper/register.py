@@ -26,13 +26,13 @@ class RegisterOptions:
 
 def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOptions(),
                    seed_salt: int = 0):
-    """Try to register `frame`.  Returns (success, num_inliers).
-    seed_salt varies the RANSAC key on retries (e.g. after an
-    epipolar-inconsistent pose was rejected)."""
+    """Try to register `frame`.  Returns (success, num_inliers,
+    num_candidates).  seed_salt varies the RANSAC key on retries (e.g.
+    after an epipolar-inconsistent pose was rejected)."""
     p2d_idx, track_ids = m.search_correspondences(frame)
     n = len(p2d_idx)
     if n < opts.min_correspondences:
-        return False, 0
+        return False, 0, n
     uv = m.kps_norm[frame][p2d_idx]
     xyz = m.track_xyz[track_ids].astype(np.float32)
     b = kernels.bucket(n)
@@ -54,12 +54,12 @@ def register_frame(m: SfMMap, frame: int, opts: RegisterOptions = RegisterOption
     if not bool(success) or n_inl < max(
         opts.min_correspondences, int(opts.min_inlier_ratio * n)
     ):
-        return False, n_inl
+        return False, n_inl, n
     m.q[frame] = np.asarray(q, np.float64)
     m.t[frame] = np.asarray(t, np.float64)
     m.registered[frame] = True
     _extend_tracks(m, frame, p2d_idx, track_ids, np.asarray(inl)[:n])
-    return True, n_inl
+    return True, n_inl, n
 
 
 def _extend_tracks(m: SfMMap, frame: int, p2d_idx, track_ids, inl_np):
@@ -93,7 +93,7 @@ def register_frames_batch(
         p2d_idx, track_ids = m.search_correspondences(f)
         corr[f] = (p2d_idx, track_ids)
     live = [f for f in frames if len(corr[f][0]) >= opts.min_correspondences]
-    out = {f: (False, 0) for f in frames}
+    out = {f: (False, 0, len(corr[f][0])) for f in frames}
     if not live:
         return out
     B = len(live)
@@ -125,11 +125,11 @@ def register_frames_batch(
         if not bool(ok_b[r]) or n_inl < max(
             opts.min_correspondences, int(opts.min_inlier_ratio * n)
         ):
-            out[f] = (False, n_inl)
+            out[f] = (False, n_inl, n)
             continue
         m.q[f] = np.asarray(q_b[r], np.float64)
         m.t[f] = np.asarray(t_b[r], np.float64)
         m.registered[f] = True
         _extend_tracks(m, f, p2d_idx, track_ids, np.asarray(inl_b[r])[:n])
-        out[f] = (True, n_inl)
+        out[f] = (True, n_inl, n)
     return out

@@ -266,7 +266,17 @@ def retriangulate(m: SfMMap, track_ids=None, opts: TriOptions = TriOptions(),
     uv = np.zeros((B, V, 2), np.float32)
     msk = np.zeros((B, V), bool)
     for i, tid in enumerate(track_ids):
-        for j, (f, p) in enumerate(list(m.track_obs[tid].items())[:V]):
+        obs = list(m.track_obs[tid].items())
+        if len(obs) > V:
+            # spread the view selection across the whole track: the
+            # extreme observations carry the baseline that removes the
+            # low-parallax depth bias (taking the first V would re-fit
+            # from the same short window the point was created with)
+            sel = np.unique(
+                np.round(np.linspace(0, len(obs) - 1, V)).astype(int)
+            )
+            obs = [obs[k] for k in sel]
+        for j, (f, p) in enumerate(obs):
             q[i, j] = m.q[f]
             t[i, j] = m.t[f]
             uv[i, j] = m.kps_norm[f][p]

@@ -54,8 +54,16 @@ def main(bin_dir: str, seq_name: str, output_dir: str, timestamp_path: str = "")
     stamps = None
     if timestamp_path and os.path.exists(timestamp_path):
         all_stamps = IOC.load_timestamps(timestamp_path)
-        step = max(1, int(len(all_stamps) / max(m.num_frames, 1) + 0.1))
-        stamps = [all_stamps[min(step * i, len(all_stamps) - 1)] for i in range(m.num_frames)]
+        # Map each frame to its timestamp by the numeric index in its
+        # image name (KITTI names are 000000.png, 000123.png, ...).  The
+        # reference assumes frame order == timestamp order
+        # (rec_kitti.cc:95-108); name-derived indexing stays correct even
+        # if the workspace covers a subsampled or partial image set.
+        stamps = []
+        for i, name in enumerate(m.names):
+            digits = "".join(c for c in os.path.basename(name) if c.isdigit())
+            idx = int(digits) if digits else i
+            stamps.append(all_stamps[min(idx, len(all_stamps) - 1)])
     write_trajectory(m, os.path.join(output_dir, f"{seq_name}.txt"), stamps)
     print(f"[rec_kitti] seq {seq_name} done in {time.time() - t0:.1f}s", flush=True)
     return m

@@ -311,3 +311,90 @@ def angle_between_rays(d1: jax.Array, d2: jax.Array) -> jax.Array:
     n2 = jnp.linalg.norm(d2, axis=-1)
     cosang = jnp.sum(d1 * d2, axis=-1) / jnp.maximum(n1 * n2, _EPS)
     return jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) exp/log (host numpy, float64) — loop-closure drift interpolation
+# ---------------------------------------------------------------------------
+
+
+def _sim3_W_np(omega, sigma):
+    """The W matrix of the Sim(3) exponential: t = W @ upsilon.
+
+    Standard closed form (Strasdat, "Local Accuracy and Global
+    Consistency for Efficient Visual SLAM", eq. 5.14; public Sophus
+    implementation), with Taylor fallbacks near theta = 0 / sigma = 0."""
+    import numpy as np
+
+    theta = float(np.linalg.norm(omega))
+    s = float(np.exp(sigma))
+    Om = np.array([
+        [0.0, -omega[2], omega[1]],
+        [omega[2], 0.0, -omega[0]],
+        [-omega[1], omega[0], 0.0],
+    ])
+    eps = 1e-8
+    if abs(sigma) < eps:
+        C = 1.0
+        if theta < eps:
+            A = 0.5
+            B = 1.0 / 6.0
+        else:
+            A = (1.0 - np.cos(theta)) / theta**2
+            B = (theta - np.sin(theta)) / theta**3
+    else:
+        C = (s - 1.0) / sigma
+        if theta < eps:
+            A = ((sigma - 1.0) * s + 1.0) / sigma**2
+            B = ((0.5 * sigma**2 - sigma + 1.0) * s - 1.0) / sigma**3
+        else:
+            a = s * np.sin(theta)
+            b = s * np.cos(theta)
+            c = theta**2 + sigma**2
+            A = (a * sigma + (1.0 - b) * theta) / (theta * c)
+            B = (C - ((b - 1.0) * sigma + a * theta) / c) / theta**2
+    return A * Om + B * (Om @ Om) + C * np.eye(3)
+
+
+def sim3_log_np(s, R, t):
+    """Log map of the similarity x -> s R x + t.  Returns (sigma [1],
+    omega [3], upsilon [3])."""
+    import numpy as np
+
+    sigma = float(np.log(s))
+    # so3 log via quaternion
+    q = rotmat_to_quat_np(R)
+    v = q[1:]
+    nv = np.linalg.norm(v)
+    ang = 2.0 * np.arctan2(nv, q[0])
+    omega = (v / nv * ang) if nv > 1e-12 else np.zeros(3)
+    W = _sim3_W_np(omega, sigma)
+    upsilon = np.linalg.solve(W, np.asarray(t, np.float64))
+    return sigma, omega, upsilon
+
+
+def sim3_exp_np(sigma, omega, upsilon):
+    """Exp map: returns (s, R, t) of the similarity x -> s R x + t."""
+    import numpy as np
+
+    s = float(np.exp(sigma))
+    theta = float(np.linalg.norm(omega))
+    if theta > 1e-12:
+        axis = omega / theta
+        half = 0.5 * theta
+        q = np.concatenate([[np.cos(half)], np.sin(half) * axis])
+    else:
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+    R = quat_to_rotmat_np(q)
+    t = _sim3_W_np(omega, sigma) @ np.asarray(upsilon, np.float64)
+    return s, R, t
+
+
+def sim3_pow_np(s, R, t, w):
+    """Fractional power D^w of the similarity D along its one-parameter
+    subgroup (screw interpolation) — the natural model for smoothly
+    accumulated loop drift."""
+    import numpy as np
+
+    sigma, omega, upsilon = sim3_log_np(s, R, t)
+    return sim3_exp_np(w * sigma, w * omega, w * upsilon)
