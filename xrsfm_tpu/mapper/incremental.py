@@ -43,6 +43,10 @@ class MapperOptions:
     gba_growth: float = 1.2  # periodic GBA trigger (incremental_mapper.cc:77)
     stop_when_register_fail: bool = False
     min_visible: int = 20
+    # last-resort visibility/correspondence floor for loop anchors that
+    # reach the map through a single cross-junction pair (the reference's
+    # TryLocate registers from 12, pnp.cc:133-168)
+    min_visible_floor: int = 12
     # free camera intrinsics in global BA (reference: GBA frees
     # camera_param, ba_solver.cc:330-356; LBA always pins it :389).
     # Enabled by rec_1dsfm (noisy per-image EXIF focals, unknown
@@ -121,9 +125,27 @@ class IncrementalMapper:
         stop = False
         while not stop:
             t0 = time.time()
+            reg_opts = o.reg
             batch = m.ready_frames(
                 o.min_visible, max_batch=max(1, o.batch_registration)
             )
+            if len(batch) == 0 and o.min_visible > o.min_visible_floor:
+                # Last resort: no frame meets min_visible, but a loop
+                # anchor may still be reachable through a single
+                # cross-junction pair (e.g. the far end of a circuit
+                # whose only link to the map is ~40 matches with one
+                # early frame — below the default gate).  Attempt the
+                # single best frame with relaxed thresholds; the
+                # epipolar-consistency check and the bounded retry
+                # counter gate bad poses (reference analogue: TryLocate
+                # registers loop frames from 12 correspondences,
+                # pnp.cc:133-168).
+                batch = m.ready_frames(o.min_visible_floor, max_batch=1)
+                if len(batch):
+                    reg_opts = dataclasses.replace(
+                        o.reg,
+                        min_correspondences=o.min_visible_floor,
+                    )
             self.stats.time_select += time.time() - t0
             if len(batch) == 0:
                 break
@@ -132,13 +154,13 @@ class IncrementalMapper:
                 nxt0 = int(batch[0])
                 results = {
                     nxt0: register.register_frame(
-                        m, nxt0, o.reg,
+                        m, nxt0, reg_opts,
                         seed_salt=self._rejections.get(nxt0, 0),
                     )
                 }
             else:
                 results = register.register_frames_batch(
-                    m, batch, o.reg, seed_salts=self._rejections
+                    m, batch, reg_opts, seed_salts=self._rejections
                 )
             self.stats.time_register += time.time() - t0
 
@@ -190,6 +212,7 @@ class IncrementalMapper:
                         self._log(f"frame {nxt}: loop error corrected")
                         self.stats.corrections += 1
                         consistent = True
+                        self._post_correction_amnesty(m)
                     else:
                         consistent = EC.registration_is_consistent(m, nxt)
                     self.stats.time_check += time.time() - t0
@@ -219,6 +242,7 @@ class IncrementalMapper:
                     ):
                         self._log(f"frame {nxt}: loop error corrected")
                         self.stats.corrections += 1
+                        self._post_correction_amnesty(m)
                     self.stats.time_check += time.time() - t0
 
                 t0 = time.time()
@@ -408,6 +432,20 @@ class IncrementalMapper:
             f"other {s.time_total - tracked:.1f})"
         )
         return True
+
+    def _post_correction_amnesty(self, m: SfMMap):
+        """After a loop correction rewrites the geometry, frames that
+        failed registration against the OLD (drifted) map deserve fresh
+        attempts — e.g. the frontier frames a collapsing arm starved
+        just before the loop anchor closed the cycle from the other
+        side."""
+        fresh = (~m.registered) & m.registered_fail
+        n = int(np.count_nonzero(fresh))
+        if n:
+            m.registered_fail[fresh] = False
+            for f in np.nonzero(fresh)[0]:
+                self._rejections.pop(int(f), None)
+            self._log(f"correction amnesty: {n} failed frames retryable")
 
     def _local_frames(self, m: SfMMap, frame: int):
         """Local bundle = the frame + covisible neighbors chosen for

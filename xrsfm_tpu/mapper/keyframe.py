@@ -236,6 +236,10 @@ def kgba(
         if m.registered[f] and not m.is_keyframe[f]
     ]
     motion_only_refine(m, nonkf, huber_px=opts.huber_px)
+    # continue tracks BACKWARD into older frames' untracked keypoints
+    # (see continue_all_tracks — keeps loop anchors reachable and feeds
+    # longer baselines to retriangulation)
+    triangulate.continue_all_tracks(m)
     if tri_opts is not None:
         triangulate.filter_tracks(m, None, tri_opts)
     return res

@@ -163,6 +163,101 @@ def _apply_creations(m: SfMMap, obs_sets, th, min_angle, max_views) -> int:
     return n_new
 
 
+def continue_all_tracks(m: SfMMap, frames=None,
+                        opts: TriOptions = TriOptions()) -> int:
+    """Sweep ALL registered frames and continue live tracks into their
+    untracked keypoints (reference: ContinueFrameTracks,
+    track_processor.cc:651-680 — the reference only continues the NEWLY
+    registered frame; this sweep also reaches keypoints whose track was
+    created long after their frame registered).
+
+    Decisive at loop anchors: a circuit's junction frame shares ~40
+    matches with the far arm, but those target far-field points whose
+    tracks formed dozens of frames later — without the backward sweep
+    only 7/40 were tracked and the loop anchor never reached the
+    registration visibility gate.
+
+    One reprojection-gate dispatch for all candidates.  Returns the
+    number of observations added."""
+    if frames is None:
+        frames = np.nonzero(m.registered)[0]
+    cand_f: List[np.ndarray] = []
+    cand_p: List[np.ndarray] = []
+    cand_t: List[np.ndarray] = []
+    for f in (int(x) for x in frames):
+        csr = m.corr[f]
+        if csr is None or len(csr.other_frame) == 0:
+            continue
+        counts = np.diff(csr.offsets)
+        p2d_of_row = np.repeat(np.arange(len(counts)), counts)
+        row_ok = (
+            m.registered[csr.other_frame]
+            & (m.track_of[f][p2d_of_row] < 0)
+        )
+        if m._kp_off is not None and csr.other_gkp is not None:
+            tids = np.where(row_ok, m._track_of_flat[csr.other_gkp], -1)
+        else:
+            tids = np.full(len(csr.other_frame), -1, np.int64)
+            for f2 in np.unique(csr.other_frame[row_ok]):
+                sel = row_ok & (csr.other_frame == f2)
+                tids[sel] = m.track_of[f2][csr.other_p2d[sel]]
+        live = row_ok & (tids >= 0)
+        if not np.any(live):
+            continue
+        live[live] = m.track_valid[tids[live]]
+        if not np.any(live):
+            continue
+        # most frequent live track per untracked keypoint
+        pairs = np.stack([p2d_of_row[live], tids[live]], axis=1)
+        uniq, cnts = np.unique(pairs, axis=0, return_counts=True)
+        order = np.lexsort((-cnts, uniq[:, 0]))
+        uniq = uniq[order]
+        first = np.ones(len(uniq), bool)
+        first[1:] = uniq[1:, 0] != uniq[:-1, 0]
+        p2 = uniq[first, 0]
+        t2 = uniq[first, 1]
+        cand_f.append(np.full(len(p2), f, np.int64))
+        cand_p.append(p2)
+        cand_t.append(t2)
+    if not cand_f:
+        return 0
+    cf = np.concatenate(cand_f)
+    cp = np.concatenate(cand_p)
+    ct = np.concatenate(cand_t)
+    n = len(cf)
+    b = kernels.bucket(n)
+    q = np.zeros((b, 4), np.float32)
+    q[:, 0] = 1.0
+    t = np.zeros((b, 3), np.float32)
+    uv = np.zeros((b, 2), np.float32)
+    xyz = np.zeros((b, 3), np.float32)
+    q[:n] = m.q[cf]
+    t[:n] = m.t[cf]
+    # per-row keypoint fetch (vectorized per frame)
+    for f in np.unique(cf):
+        sel = cf == f
+        uv[:n][sel] = m.kps_norm[int(f)][cp[sel]]
+    xyz[:n] = m.track_xyz[ct]
+    err, z = jax.device_get(kernels.reproj_errors_batch(q, t, uv, xyz))
+    focal = _focal(m, int(cf[0]))
+    th = (opts.tri_px / focal) ** 2
+    ok = (err[:n] < th) & (z[:n] > 0)
+    added = 0
+    for f in np.unique(cf[ok]):
+        sel = ok & (cf == f)
+        p2, t2 = cp[sel], ct[sel]
+        keep = [
+            k for k in range(len(p2))
+            if m.track_valid[t2[k]]
+            and int(f) not in m.track_obs[int(t2[k])]
+            and m.track_of[int(f)][p2[k]] < 0
+        ]
+        if keep:
+            m.add_observations(t2[keep], int(f), p2[keep])
+            added += len(keep)
+    return added
+
+
 def merge_all_tracks(m: SfMMap, frames=None, opts: TriOptions = TriOptions()):
     """Merge pass over many frames (reference applies MergeTracks
     per-frame during mapping; a global sweep is used after loop
