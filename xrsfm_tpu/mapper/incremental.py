@@ -41,6 +41,8 @@ class MapperOptions:
     gba_iters: int = 20
     lba_frames: int = 5  # covisibility neighbors included in LBA
     gba_growth: float = 1.2  # periodic GBA trigger (incremental_mapper.cc:77)
+    # global rotation-averaging polish before the final GBA (optim/rot_avg)
+    rot_avg_polish: bool = True
     stop_when_register_fail: bool = False
     min_visible: int = 20
     # last-resort visibility/correspondence floor for loop anchors that
@@ -367,15 +369,29 @@ class IncrementalMapper:
                 )
                 stop = True
 
-        # final polish: GBA -> filter -> merge sweep -> retriangulate -> GBA
+        # final polish: rot-avg -> GBA -> filter -> merge sweep ->
+        # retriangulate -> GBA
         reg_frames = list(np.nonzero(m.registered)[0])
         if len(reg_frames) >= 2:
             t0 = time.time()
+            rotated = False
+            if o.rot_avg_polish and len(reg_frames) >= 10:
+                # global rotation averaging over measured pairwise
+                # rotations: lifts the map out of the rotational drift
+                # basin BA cannot leave (no reference counterpart — its
+                # pose graph never touches rotations, ba_solver.cc:147)
+                from ..optim import rot_avg
+
+                rotated = rot_avg.rotation_averaging_polish(
+                    m, log=self._log
+                )
+                if rotated:
+                    triangulate.retriangulate(m, None, o.tri)
             # after loop corrections the polish problem is ill-conditioned:
             # full-precision Schur products and a damping restart round
             # (each run_ba re-inits lam) are what let LM leave the
             # high-lambda plateau the correction parks it on
-            hard = self.stats.corrections > 0
+            hard = self.stats.corrections > 0 or rotated
             polish = BAOptions(
                 max_iters=2 * self.opts.gba_iters, huber_px=4.0,
                 precise=hard,

@@ -1,0 +1,335 @@
+"""Global rotation averaging polish.
+
+The incremental pipeline's final GBA inherits whatever rotational drift
+the growth path accumulated: BA is a local method, and on long circuits
+it parks in a drift basin 1-2% ATE above what the observations support
+(docs/benchmark.md "loop" analysis).  The reference has no answer to
+this beyond its translation+scale pose graph (ScalePoseGraphUnorder,
+src/optimization/ba_solver.cc:147-328, which never touches rotations).
+This module goes further: it re-measures the relative rotation of every
+verified image pair directly from the match coordinates (8-point
+essential + cheirality, independent of the drifted map), then solves a
+robust global rotation averaging problem (IRLS Gauss-Newton on so(3),
+Chatterjee-Govindaru-style) and rewrites the frame rotations about
+their camera centers.  Retriangulation + GBA afterwards converge in the
+correct basin.
+
+TPU-first design: edge measurement is ONE batched dispatch (vmapped
+8pt + pose recovery over padded [P, M, 2] match tables), and the solver
+is a single jitted program — fixed edge count, lax.fori_loop IRLS
+rounds, Jacobi-preconditioned CG on the 3N x 3N graph Laplacian via
+segment_sum matvecs.  No per-edge host work anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import epipolar
+from ..utils import geometry as G
+
+__all__ = [
+    "measure_pair_rotations",
+    "solve_rotation_averaging",
+    "rotation_averaging_polish",
+]
+
+
+# ---------------------------------------------------------------------------
+# Edge measurement: verified matches -> relative rotation, batched
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _measure_batch(uv1, uv2, mask):
+    """[P, M, 2] padded match tables -> (q_rel [P,4], support [P]).
+
+    q_rel is the cheirality-checked rotation of the 8-point essential:
+    x2 = R x1 + t for true inlier correspondences (uv in normalized
+    camera coordinates).  support = #points passing cheirality."""
+
+    def one(u1, u2, mk):
+        E, valid = epipolar.essential_8pt(u1, u2, mk)
+        q, _t, n_good, _gm = epipolar.recover_pose_from_essential(E, u1, u2, mk)
+        n_good = jnp.where(valid, n_good, 0)
+        return q, n_good.astype(jnp.float32)
+
+    return jax.vmap(one)(uv1, uv2, mask)
+
+
+def measure_pair_rotations(
+    m,
+    min_inliers: int = 30,
+    max_pts: int = 512,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Measure R_ij (x_j = R x_i + t) for every verified pair between
+    registered frames, from match coordinates alone.
+
+    Returns (ei [E], ej [E], q_meas [E,4], support [E]) numpy arrays —
+    support is the cheirality inlier count (edge weight basis).  Pairs
+    with fewer than min_inliers matches are skipped; matches beyond
+    max_pts are strided down (rotation needs no more)."""
+    from ..mapper import kernels as K
+
+    ei: List[int] = []
+    ej: List[int] = []
+    tables: List[Tuple[np.ndarray, np.ndarray]] = []
+    for id1, id2, mt in m.pairs:
+        if len(mt) < min_inliers:
+            continue
+        if not (m.registered[id1] and m.registered[id2]):
+            continue
+        sel = mt
+        if len(sel) > max_pts:
+            sel = sel[:: len(sel) // max_pts + 1][:max_pts]
+        ei.append(id1)
+        ej.append(id2)
+        tables.append((m.kps_norm[id1][sel[:, 0]], m.kps_norm[id2][sel[:, 1]]))
+    if not tables:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros((0, 4), np.float32), np.zeros(0, np.float32))
+    P = len(tables)
+    pb = K.bucket(P, lo=4)
+    nb = K.bucket(max(len(a) for a, _ in tables), lo=64)
+    uv1 = np.zeros((pb, nb, 2), np.float32)
+    uv2 = np.zeros((pb, nb, 2), np.float32)
+    mask = np.zeros((pb, nb), bool)
+    for k, (a, b) in enumerate(tables):
+        uv1[k, : len(a)] = a
+        uv2[k, : len(b)] = b
+        mask[k, : len(a)] = True
+    q, sup = jax.device_get(_measure_batch(uv1, uv2, mask))
+    return (np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+            q[:P].astype(np.float32), sup[:P].astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Robust global rotation averaging (IRLS Gauss-Newton over so(3)^N)
+# ---------------------------------------------------------------------------
+
+
+def _edge_residual(q, ei, ej, q_meas):
+    """r_e = Log(P M^T) with P = R_j R_i^T predicted, M measured.  [E,3]."""
+    pred = G.quat_mul(q[ej], G.quat_conj(q[ei]))
+    return G.so3_log(G.quat_mul(pred, G.quat_conj(q_meas))), pred
+
+
+def solve_rotation_averaging(
+    q0: np.ndarray,
+    ei: np.ndarray,
+    ej: np.ndarray,
+    q_meas: np.ndarray,
+    w: np.ndarray,
+    irls_iters: int = 12,
+    cg_iters: int = 40,
+    huber_rad: float = np.deg2rad(3.0),
+):
+    """Minimize sum_e w_e * huber(|Log(R_j R_i^T M_e^T)|) over global
+    rotations, gauge-fixed at frame index 0 of the problem.
+
+    Linearization (left perturbation R_k <- Exp(d_k) R_k):
+        r' ~= r + d_j - P d_i        (P = predicted R_j R_i^T)
+    giving a 3x3-block graph Laplacian solved by Jacobi-PCG.  One jitted
+    program; all loops are lax.fori_loop.
+
+    Returns (q [N,4], median residual angle [rad]) as numpy."""
+    N = len(q0)
+    q_new, med = _solve_ra_jit(
+        jnp.asarray(q0, jnp.float32), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(q_meas, jnp.float32), jnp.asarray(w, jnp.float32),
+        N, int(irls_iters), int(cg_iters), float(huber_rad),
+    )
+    q_new, med = jax.device_get((q_new, med))
+    return np.asarray(q_new), float(med)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _solve_ra_jit(q0, ei, ej, q_meas, w, N, irls_iters, cg_iters, huber_rad):
+    anchor = 0  # gauge: frame at problem index 0 stays fixed
+
+    def gn_round(k, q):
+        r, pred = _edge_residual(q, ei, ej, q_meas)
+        rn = jnp.linalg.norm(r, axis=-1)
+        # annealed redescending IRLS (Geman-McClure): sigma starts wide
+        # so a badly drifted init does not reject its own loop edges,
+        # then shrinks toward huber_rad so gross outlier edges end up
+        # with ~zero influence (plain Huber left them 3+ deg of pull)
+        sigma = jnp.maximum(
+            huber_rad, jnp.deg2rad(45.0) * (0.5 ** k.astype(jnp.float32))
+        )
+        rw = w / jnp.square(1.0 + jnp.square(rn / sigma))
+
+        def matvec(v):
+            # u_e = v_j - P v_i ; scatter J^T (rw u)
+            u = v[ej] - G.quat_rotate(pred, v[ei])
+            u = u * rw[:, None]
+            out = jnp.zeros((N, 3), jnp.float32)
+            out = out.at[ej].add(u)
+            out = out.at[ei].add(-G.quat_rotate(G.quat_conj(pred), u))
+            # gauge: identity row for the anchor
+            return out.at[anchor].set(v[anchor])
+
+        g = jnp.zeros((N, 3), jnp.float32)
+        rr = r * rw[:, None]
+        g = g.at[ej].add(rr)
+        g = g.at[ei].add(-G.quat_rotate(G.quat_conj(pred), rr))
+        g = g.at[anchor].set(0.0)
+
+        deg = jnp.zeros(N, jnp.float32).at[ej].add(rw).at[ei].add(rw)
+        deg = jnp.maximum(deg, 1e-6).at[anchor].set(1.0)
+        precond = 1.0 / deg[:, None]
+
+        b = -g
+
+        def cg_body(_i, st):
+            x, p, res, rz = st
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+            x = x + alpha * p
+            res = res - alpha * Ap
+            z = precond * res
+            rz_new = jnp.sum(res * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            return x, z + beta * p, res, rz_new
+
+        x0 = jnp.zeros((N, 3), jnp.float32)
+        z0 = precond * b
+        st = (x0, z0, b, jnp.sum(b * z0))
+        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, st)
+        # trust-region clip: a GN step beyond ~30 deg/node is outside the
+        # linearization's validity
+        step = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        cap = jnp.deg2rad(30.0)
+        x = x * jnp.minimum(1.0, cap / jnp.maximum(step, 1e-12))
+        q2 = G.quat_normalize(G.quat_mul(G.so3_exp_quat(x), q))
+        return q2
+
+    q = jax.lax.fori_loop(0, irls_iters, gn_round, q0)
+    r, _ = _edge_residual(q, ei, ej, q_meas)
+    med = jnp.median(jnp.linalg.norm(r, axis=-1))
+    return q, med
+
+
+# ---------------------------------------------------------------------------
+# Map-level polish
+# ---------------------------------------------------------------------------
+
+
+def rotation_averaging_polish(
+    m,
+    min_inliers: int = 30,
+    max_med_residual_deg: float = 3.0,
+    min_correction_deg: float = 0.05,
+    log=None,
+) -> bool:
+    """Re-estimate every registered frame's rotation by global rotation
+    averaging over measured pairwise rotations; keep camera centers.
+
+    Returns True if rotations were rewritten (caller must retriangulate
+    and re-run GBA).  Safe-guards: requires a connected measurement set
+    covering the registered frames; rejects the solution if the IRLS
+    median residual stays above max_med_residual_deg (measurements
+    mutually inconsistent — e.g. heavy mismatches), or applies nothing
+    if the median correction is below min_correction_deg."""
+    reg = np.nonzero(m.registered)[0]
+    if len(reg) < 10:
+        return False
+    ei, ej, q_meas, sup = measure_pair_rotations(m, min_inliers=min_inliers)
+    if len(ei) < len(reg):
+        return False
+    # keep only edges whose measurement roughly agrees with the current
+    # map (gross-outlier pre-gate; IRLS handles the rest).  The map is
+    # right to a few degrees locally even when globally drifted.
+    q_all = np.asarray(m.q, np.float32)
+    pred = G.quat_mul_np(q_all[ej], _quat_conj_np(q_all[ei]))
+    dq = G.quat_mul_np(pred, _quat_conj_np(q_meas))
+    ang = _quat_angle_np(dq)
+    keep = ang < np.deg2rad(25.0)
+    # cheirality support as weight (sqrt-damped so one giant pair does
+    # not dominate), floor at the match-count gate
+    w = np.sqrt(np.maximum(sup, float(min_inliers)))
+    ei, ej, q_meas, w = ei[keep], ej[keep], q_meas[keep], w[keep]
+    if len(ei) == 0:
+        return False
+
+    # compress to registered-frame index space; drop frames not touched
+    # by any edge (their rotation cannot be averaged — keep map pose)
+    remap = -np.ones(m.num_frames, np.int64)
+    remap[reg] = np.arange(len(reg))
+    ei_c = remap[ei].astype(np.int32)
+    ej_c = remap[ej].astype(np.int32)
+    touched = np.zeros(len(reg), bool)
+    touched[ei_c] = True
+    touched[ej_c] = True
+    if not np.all(touched):
+        # solve only over the touched subset
+        sub = np.nonzero(touched)[0]
+        remap2 = -np.ones(len(reg), np.int64)
+        remap2[sub] = np.arange(len(sub))
+        ei_c = remap2[ei_c].astype(np.int32)
+        ej_c = remap2[ej_c].astype(np.int32)
+        frames = reg[sub]
+    else:
+        frames = reg
+
+    # connectivity check (union-find): a disconnected component would
+    # float freely relative to the anchor
+    parent = np.arange(len(frames))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ei_c, ej_c):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(k) for k in range(len(frames))}
+    if len(roots) > 1:
+        if log:
+            log(f"rot-avg: measurement graph disconnected "
+                f"({len(roots)} components), skipping")
+        return False
+
+    q0 = np.asarray(m.q[frames], np.float32)
+    q_new, med = solve_rotation_averaging(q0, ei_c, ej_c, q_meas, w)
+    if np.rad2deg(med) > max_med_residual_deg:
+        if log:
+            log(f"rot-avg: rejected (median edge residual "
+                f"{np.rad2deg(med):.2f} deg)")
+        return False
+    dq = G.quat_mul_np(q_new, _quat_conj_np(q0))
+    corr = np.rad2deg(_quat_angle_np(dq))
+    if float(np.median(corr)) < min_correction_deg:
+        if log:
+            log(f"rot-avg: correction negligible "
+                f"(median {np.median(corr):.3f} deg), keeping map")
+        return False
+    # rewrite rotations about fixed camera centers: c = -R^T t invariant
+    centers = G.pose_center_np(m.q[frames], m.t[frames])
+    R_new = G.quat_to_rotmat_np(q_new)
+    t_new = -np.einsum("nij,nj->ni", R_new, centers)
+    m.q[frames] = q_new
+    m.t[frames] = t_new.astype(np.float32)
+    if log:
+        log(f"rot-avg: {len(frames)} frames over {len(ei_c)} edges, "
+            f"median correction {np.median(corr):.2f} deg "
+            f"(max {corr.max():.2f}), median residual "
+            f"{np.rad2deg(med):.3f} deg")
+    return True
+
+
+def _quat_conj_np(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def _quat_angle_np(q):
+    w = np.clip(np.abs(q[..., 0]), 0.0, 1.0)
+    return 2.0 * np.arccos(w)
