@@ -115,7 +115,12 @@ def test_measurement_matches_ground_truth_rotation():
     uv1[0, :200] = x1
     uv2[0, :200] = x2
     mask[0, :200] = True
-    q_meas, sup = rot_avg._measure_batch(uv1, uv2, mask)
+    import jax
+
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(1))
+    q_meas, sup = rot_avg._measure_batch(
+        keys, uv1, uv2, mask, np.float32((2.0 / 500.0) ** 2)
+    )
     q_meas = np.asarray(q_meas[0])
     assert float(sup[0]) > 150
     d = G.quat_mul_np(q_meas, rot_avg._quat_conj_np(q2))

@@ -41,8 +41,14 @@ class MapperOptions:
     gba_iters: int = 20
     lba_frames: int = 5  # covisibility neighbors included in LBA
     gba_growth: float = 1.2  # periodic GBA trigger (incremental_mapper.cc:77)
-    # global rotation-averaging polish before the final GBA (optim/rot_avg)
-    rot_avg_polish: bool = True
+    # global rotation-averaging polish before the final GBA
+    # (optim/rot_avg).  OFF by default: on sequential scenes the 2-view
+    # measurement bias (~0.1-0.3 deg/edge, contamination surviving the
+    # epipolar gate clusters near the epipole under forward motion)
+    # accumulates over the chain to worse than the map's own drift —
+    # measured on the 250-frame kitti-class circuit.  Useful on
+    # short-graph-diameter unordered scenes.
+    rot_avg_polish: bool = False
     stop_when_register_fail: bool = False
     min_visible: int = 20
     # last-resort visibility/correspondence floor for loop anchors that

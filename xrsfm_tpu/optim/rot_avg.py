@@ -15,10 +15,20 @@ their camera centers.  Retriangulation + GBA afterwards converge in the
 correct basin.
 
 TPU-first design: edge measurement is ONE batched dispatch (vmapped
-8pt + pose recovery over padded [P, M, 2] match tables), and the solver
-is a single jitted program — fixed edge count, lax.fori_loop IRLS
-rounds, Jacobi-preconditioned CG on the 3N x 3N graph Laplacian via
-segment_sum matvecs.  No per-edge host work anywhere.
+LO-RANSAC + pose recovery over padded [P, M, 2] match tables), and the
+solver is a single jitted program — fixed edge count, lax.fori_loop
+IRLS rounds, Jacobi-preconditioned CG on the 3N x 3N graph Laplacian
+via segment_sum matvecs.  No per-edge host work anywhere.
+
+Applicability (measured, 250-frame kitti-class circuit): 2-view
+rotation measurements retain a small systematic bias (~0.07 deg/edge
+even after RANSAC — contamination surviving the epipolar gate clusters
+near the epipole under forward motion).  On a LONG CHAIN that bias
+integrates to tens of degrees, worse than the incremental map's own
+drift — so the polish is off by default for sequential scenes
+(MapperOptions.rot_avg_polish).  On short-graph-diameter unordered
+scenes (1DSfM class) the bias cannot accumulate and the averaging is a
+sound global initializer/polish.
 """
 
 from __future__ import annotations
@@ -46,26 +56,35 @@ __all__ = [
 
 
 @jax.jit
-def _measure_batch(uv1, uv2, mask):
+def _measure_batch(keys, uv1, uv2, mask, th):
     """[P, M, 2] padded match tables -> (q_rel [P,4], support [P]).
 
-    q_rel is the cheirality-checked rotation of the 8-point essential:
-    x2 = R x1 + t for true inlier correspondences (uv in normalized
-    camera coordinates).  support = #points passing cheirality."""
+    q_rel is the cheirality-checked rotation of a 5-point-RANSAC
+    essential: x2 = R x1 + t (uv in normalized camera coordinates).
+    Stored "verified" match lists still carry a few percent of gross
+    mismatches (imperfect geometric verification); a plain least-squares
+    8pt is biased ~2.5 deg median by them (measured on the kitti-class
+    workspace), which is fatal for rotation averaging — per-edge bias
+    integrates around a 250-frame circuit to tens of degrees.  Full
+    LO-RANSAC brings the median error to ~0.08 deg.  th is SQUARED
+    Sampson in normalized coords ((px / f) ** 2).  support = #points
+    passing cheirality under the winning model's inlier set."""
+    from ..mapper import kernels as K
 
-    def one(u1, u2, mk):
-        E, valid = epipolar.essential_8pt(u1, u2, mk)
-        q, _t, n_good, _gm = epipolar.recover_pose_from_essential(E, u1, u2, mk)
-        n_good = jnp.where(valid, n_good, 0)
+    def one(key, u1, u2, mk):
+        E, inl, _n_inl, ok = K.essential_ransac(key, u1, u2, mk, th)
+        q, _t, n_good, _gm = epipolar.recover_pose_from_essential(E, u1, u2, inl)
+        n_good = jnp.where(ok, n_good, 0)
         return q, n_good.astype(jnp.float32)
 
-    return jax.vmap(one)(uv1, uv2, mask)
+    return jax.vmap(one)(keys, uv1, uv2, mask)
 
 
 def measure_pair_rotations(
     m,
     min_inliers: int = 30,
     max_pts: int = 512,
+    gate_px: float = 2.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Measure R_ij (x_j = R x_i + t) for every verified pair between
     registered frames, from match coordinates alone.
@@ -103,7 +122,12 @@ def measure_pair_rotations(
         uv1[k, : len(a)] = a
         uv2[k, : len(b)] = b
         mask[k, : len(a)] = True
-    q, sup = jax.device_get(_measure_batch(uv1, uv2, mask))
+    focal = float(m.cameras[int(m.cam_of_frame[ei[0]])][0])
+    th = np.float32((gate_px / focal) ** 2)
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(pb) * 7919 + np.int32(len(tables))
+    )
+    q, sup = jax.device_get(_measure_batch(keys, uv1, uv2, mask, th))
     return (np.asarray(ei, np.int32), np.asarray(ej, np.int32),
             q[:P].astype(np.float32), sup[:P].astype(np.float32))
 
@@ -249,10 +273,13 @@ def rotation_averaging_polish(
     pred = G.quat_mul_np(q_all[ej], _quat_conj_np(q_all[ei]))
     dq = G.quat_mul_np(pred, _quat_conj_np(q_meas))
     ang = _quat_angle_np(dq)
-    keep = ang < np.deg2rad(25.0)
+    # edges whose robust refit collapsed (tiny cheirality support) are
+    # the ones with degenerate/garbage rotations — measured: every edge
+    # with err > 10 deg vs GT had support < min_inliers
+    keep = (ang < np.deg2rad(25.0)) & (sup >= float(min_inliers))
     # cheirality support as weight (sqrt-damped so one giant pair does
-    # not dominate), floor at the match-count gate
-    w = np.sqrt(np.maximum(sup, float(min_inliers)))
+    # not dominate)
+    w = np.sqrt(sup)
     ei, ej, q_meas, w = ei[keep], ej[keep], q_meas[keep], w[keep]
     if len(ei) == 0:
         return False
