@@ -119,7 +119,7 @@ def test_measurement_matches_ground_truth_rotation():
 
     keys = jax.vmap(jax.random.PRNGKey)(np.arange(1))
     q_meas, sup = rot_avg._measure_batch(
-        keys, uv1, uv2, mask, np.float32((2.0 / 500.0) ** 2)
+        keys, uv1, uv2, mask, np.full(1, (2.0 / 500.0) ** 2, np.float32)
     )
     q_meas = np.asarray(q_meas[0])
     assert float(sup[0]) > 150

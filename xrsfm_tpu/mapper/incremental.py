@@ -392,7 +392,17 @@ class IncrementalMapper:
                     m, log=self._log
                 )
                 if rotated:
-                    triangulate.retriangulate(m, None, o.tri)
+                    # re-triangulate EVERY valid track, not just those the
+                    # stale (pre-rewrite) track_error flags: after a global
+                    # rotation rewrite all stored errors refer to the old
+                    # poses, and leaving most points in place would pull the
+                    # follow-up GBA back into the old rotational basin
+                    # (same reason error_correct.py retriangulates all)
+                    triangulate.retriangulate(
+                        m,
+                        np.nonzero(m.track_valid[: m.num_tracks])[0],
+                        o.tri,
+                    )
             # after loop corrections the polish problem is ill-conditioned:
             # full-precision Schur products and a damping restart round
             # (each run_ba re-inits lam) are what let LM leave the

@@ -66,18 +66,19 @@ def _measure_batch(keys, uv1, uv2, mask, th):
     8pt is biased ~2.5 deg median by them (measured on the kitti-class
     workspace), which is fatal for rotation averaging — per-edge bias
     integrates around a 250-frame circuit to tens of degrees.  Full
-    LO-RANSAC brings the median error to ~0.08 deg.  th is SQUARED
-    Sampson in normalized coords ((px / f) ** 2).  support = #points
+    LO-RANSAC brings the median error to ~0.08 deg.  th is a PER-PAIR
+    [P] vector of SQUARED Sampson thresholds in normalized coords
+    ((px / f) ** 2, using each pair's own focals).  support = #points
     passing cheirality under the winning model's inlier set."""
     from ..mapper import kernels as K
 
-    def one(key, u1, u2, mk):
-        E, inl, _n_inl, ok = K.essential_ransac(key, u1, u2, mk, th)
+    def one(key, u1, u2, mk, th_k):
+        E, inl, _n_inl, ok = K.essential_ransac(key, u1, u2, mk, th_k)
         q, _t, n_good, _gm = epipolar.recover_pose_from_essential(E, u1, u2, inl)
         n_good = jnp.where(ok, n_good, 0)
         return q, n_good.astype(jnp.float32)
 
-    return jax.vmap(one)(keys, uv1, uv2, mask)
+    return jax.vmap(one)(keys, uv1, uv2, mask, th)
 
 
 def measure_pair_rotations(
@@ -122,8 +123,16 @@ def measure_pair_rotations(
         uv1[k, : len(a)] = a
         uv2[k, : len(b)] = b
         mask[k, : len(a)] = True
-    focal = float(m.cameras[int(m.cam_of_frame[ei[0]])][0])
-    th = np.float32((gate_px / focal) ** 2)
+    # per-pair Sampson gate from each pair's own focals (multi-camera /
+    # differing-focal scenes get per-pair thresholds like initialize.py:66)
+    focals = np.asarray(
+        [m.cameras[int(c)][0] for c in m.cam_of_frame[: m.num_frames]],
+        np.float32,
+    )
+    ei_a = np.asarray(ei, np.int64)
+    ej_a = np.asarray(ej, np.int64)
+    th = np.ones(pb, np.float32)
+    th[:P] = (gate_px / (0.5 * (focals[ei_a] + focals[ej_a]))) ** 2
     keys = jax.vmap(jax.random.PRNGKey)(
         jnp.arange(pb) * 7919 + np.int32(len(tables))
     )
@@ -264,19 +273,22 @@ def rotation_averaging_polish(
     if len(reg) < 10:
         return False
     ei, ej, q_meas, sup = measure_pair_rotations(m, min_inliers=min_inliers)
-    if len(ei) < len(reg):
+    if len(ei) == 0:
         return False
-    # keep only edges whose measurement roughly agrees with the current
-    # map (gross-outlier pre-gate; IRLS handles the rest).  The map is
-    # right to a few degrees locally even when globally drifted.
+    # Gross-outlier pre-gate: drop edges whose measurement disagrees with
+    # the current map by a lot AND have weak cheirality support.  The
+    # angular test alone must NOT veto strong edges — on a drifted
+    # circuit the loop-closure edges are exactly the ones that disagree
+    # with the map, and they are the reason this solver exists; a
+    # well-supported measurement is trusted regardless of map agreement
+    # (IRLS handles any that are still wrong).  Measured: every edge
+    # with err > 10 deg vs GT had support < min_inliers.
     q_all = np.asarray(m.q, np.float32)
     pred = G.quat_mul_np(q_all[ej], _quat_conj_np(q_all[ei]))
     dq = G.quat_mul_np(pred, _quat_conj_np(q_meas))
     ang = _quat_angle_np(dq)
-    # edges whose robust refit collapsed (tiny cheirality support) are
-    # the ones with degenerate/garbage rotations — measured: every edge
-    # with err > 10 deg vs GT had support < min_inliers
-    keep = (ang < np.deg2rad(25.0)) & (sup >= float(min_inliers))
+    strong = sup >= 2.0 * float(min_inliers)
+    keep = ((ang < np.deg2rad(25.0)) | strong) & (sup >= float(min_inliers))
     # cheirality support as weight (sqrt-damped so one giant pair does
     # not dominate)
     w = np.sqrt(sup)
@@ -303,6 +315,16 @@ def rotation_averaging_polish(
         frames = reg[sub]
     else:
         frames = reg
+
+    # redundancy requirement, applied to the FILTERED edge set: averaging
+    # on a (near-)spanning-tree graph just integrates per-edge noise with
+    # no consistency constraint — require at least one loop-closing edge
+    # beyond a tree (|E| >= |V|) before trusting a global rewrite
+    if len(ei_c) < len(frames):
+        if log:
+            log(f"rot-avg: only {len(ei_c)} usable edges for "
+                f"{len(frames)} frames (no redundancy), skipping")
+        return False
 
     # connectivity check (union-find): a disconnected component would
     # float freely relative to the anchor
