@@ -26,8 +26,9 @@ import time
 import numpy as np
 
 
-def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
-    import jax
+def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0):
+    """Synthetic KITTI-scale BA problem; returns (packed problem, ell,
+    n_obs).  Shared by bench_ba and scripts/profile_ba.py."""
     import jax.numpy as jnp
 
     from xrsfm_tpu.optim import ba as ba_mod
@@ -86,17 +87,27 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         fix_pt=jnp.zeros(n_pts, bool),
     )
 
-    import jax
-
     # production path: camera-major packed table (camera-side ELL rows are
     # contiguous reshapes; only the point-side transpose-gather remains)
     prob, ell = ba_mod.pack_camera_major(prob)
+    return prob, ell, len(obs_cam)
+
+
+def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from xrsfm_tpu.optim import ba as ba_mod
+
+    prob, ell, n_obs = make_ba_problem(n_cams, n_pts, obs_per_pt, seed)
 
     @jax.jit
     def lm_step(p, lam):
-        """Full accept/reject LM step (fixed work per call)."""
-        r, z, Jc, Jp = ba_mod._residuals_and_jacobians(p)
-        cost, w = ba_mod._robust_cost_and_weight(r, z, p.obs_w, 4.0)
+        """Full accept/reject LM step (fixed work per call), row-native
+        layout (camera data fetched per ELL row, not per observation)."""
+        w_row = p.obs_w.reshape(ell.cam.slots.shape)
+        r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
+        cost, w = ba_mod._robust_cost_and_weight(r, z, w_row, 4.0)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(p, ell, r, Jc, Jp, w)
         # truncated inexact Newton: 4 PCG iterations on the reduced camera
         # system reach the same 30-step final cost as 6, 12 or 50 on this
@@ -106,8 +117,8 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
             p, ell, U, V, bc, bp, Jc, Jp, w, lam, 4, 1e-2
         )
         cand = ba_mod._apply_step(p, dx_c, dx_p)
-        r2, z2 = ba_mod._residuals_only(cand)
-        c2, _ = ba_mod._robust_cost_and_weight(r2, z2, p.obs_w, 4.0)
+        r2, z2 = ba_mod._residuals_only_rows(cand, ell)
+        c2, _ = ba_mod._robust_cost_and_weight(r2, z2, w_row, 4.0)
         accept = c2 < cost
         out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), p, cand)
         lam2 = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
@@ -161,7 +172,7 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
     # fixed dispatch+fetch overhead per run — the tunnel's share; grows
     # over long sessions and is the telltale of a degraded tunnel
     overhead = max(2.0 * t_n - t_2n, 0.0)
-    return iters / dt, len(obs_cam), final_cost, overhead
+    return iters / dt, n_obs, final_cost, overhead
 
 
 def bench_matching(n_feats=4096, batch=16, reps=10, seed=0):

@@ -1,0 +1,156 @@
+"""Phase breakdown of the bench LM step on the live device.
+
+Times jitted sub-graphs of the LM iteration with the same
+scan-differencing trick bench.py uses (2N-iter minus N-iter run cancels
+the tunnel's fixed dispatch+fetch overhead), so each number is pure
+device throughput:
+
+  residuals       _residuals_only               (cost evaluation)
+  jac+normal      _residuals_and_jacobians + _build_normal_blocks_ell
+  full(cg=k)      whole lm_step at k inner PCG iterations
+
+The per-CG-iteration cost is the slope of full(cg) over k; the
+remainder (full(0) - jac+normal - residuals) is the Schur setup
+(Y build + preconditioner) + apply/accept.  Prints one JSON dict.
+
+Usage: python scripts/profile_ba.py [--cams N] [--pts N] [--iters N]
+"""
+
+import argparse
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=200)
+    ap.add_argument("--pts", type=int, default=20000)
+    ap.add_argument("--obs_per_pt", type=int, default=7)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from xrsfm_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    import bench
+    from xrsfm_tpu.optim import ba as ba_mod
+
+    prob, ell, n_obs = bench.make_ba_problem(
+        args.cams, args.pts, args.obs_per_pt
+    )
+    print(f"device={jax.devices()[0].platform} n_obs={n_obs} "
+          f"table_slots={len(prob.obs_cam)} "
+          f"cam_rows={ell.cam.slots.shape} pt_rows={ell.pt.slots.shape}",
+          file=sys.stderr)
+
+    def scan_time(step_fn, length, reps=2):
+        """Time `length` applications of step_fn inside one scan dispatch.
+
+        step_fn: (p, lam, tick) -> (p2, lam2, scalar).  tick is an
+        iteration-dependent scalar folded in so XLA cannot hoist the body
+        out of the loop when p2 == p."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(p, lam, n):
+            def body(carry, tick):
+                p_, lam_, _ = carry
+                return step_fn(p_, lam_, tick), None
+
+            carry, _ = jax.lax.scan(
+                body, (p, lam, jnp.float32(0.0)),
+                jnp.arange(n, dtype=jnp.float32), length=n,
+            )
+            return carry[2]
+
+        lam = jnp.float32(1e-4)
+        float(run(prob, lam, length))  # compile + warm
+        float(run(prob, lam, 2 * length))
+
+        def once(n):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(prob, lam, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_n = once(length)
+        t_2n = once(2 * length)
+        return max(t_2n - t_n, 1e-9) / length
+
+    def w_row(p):
+        return p.obs_w.reshape(ell.cam.slots.shape)
+
+    # --- phase: residuals only
+    def res_step(p, lam, tick):
+        import dataclasses
+
+        p2 = dataclasses.replace(p, points=p.points + tick * 1e-30)
+        r, z = ba_mod._residuals_only_rows(p2, ell)
+        c, _ = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
+        return p, lam, c
+
+    # --- phase: residuals + jacobians + normal blocks
+    def jn_step(p, lam, tick):
+        import dataclasses
+
+        p2 = dataclasses.replace(p, points=p.points + tick * 1e-30)
+        r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
+        c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
+        U, V, bc, bp = ba_mod._build_normal_blocks_ell(p2, ell, r, Jc, Jp, w)
+        return p, lam, c + jnp.sum(bc) * 1e-30 + jnp.sum(bp) * 1e-30 + \
+            jnp.sum(U) * 1e-30 + jnp.sum(V) * 1e-30
+
+    # --- full lm_step at k CG iterations
+    def full_step_k(k):
+        def step(p, lam, tick):
+            r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
+            cost, w = ba_mod._robust_cost_and_weight(r, z, w_row(p), 4.0)
+            U, V, bc, bp = ba_mod._build_normal_blocks_ell(
+                p, ell, r, Jc, Jp, w
+            )
+            dx_c, dx_p = ba_mod._schur_solve_ell(
+                p, ell, U, V, bc, bp, Jc, Jp, w, lam, k, 1e-20
+            )
+            cand = ba_mod._apply_step(p, dx_c, dx_p)
+            r2, z2 = ba_mod._residuals_only_rows(cand, ell)
+            c2, _ = ba_mod._robust_cost_and_weight(r2, z2, w_row(p), 4.0)
+            accept = c2 < cost
+            out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, b, a), p, cand
+            )
+            lam2 = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
+            )
+            return out, lam2, jnp.where(accept, c2, cost)
+
+        return step
+
+    N = args.iters
+    out = {}
+    out["residuals_ms"] = scan_time(res_step, N) * 1e3
+    out["jac_normal_ms"] = scan_time(jn_step, N) * 1e3
+    for k in (0, 2, 4, 8):
+        out[f"full_cg{k}_ms"] = scan_time(full_step_k(k), N) * 1e3
+    out["per_cg_iter_ms"] = (out["full_cg8_ms"] - out["full_cg0_ms"]) / 8.0
+    out["schur_setup_apply_ms"] = (
+        out["full_cg0_ms"] - out["jac_normal_ms"] - out["residuals_ms"]
+    )
+    out["iters_per_s_cg4"] = 1e3 / out["full_cg4_ms"]
+    print(json.dumps({k: round(v, 3) for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()

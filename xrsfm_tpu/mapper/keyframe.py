@@ -48,10 +48,22 @@ def _ensure_fields(m: SfMMap):
 def keyframe_selection(m: SfMMap, sequential: bool = True) -> int:
     """Demote redundant keyframes.  Returns number of demotions.
 
-    Vectorized: per-track keyframe-observation counts come from one
-    bincount over the COO observation table, updated incrementally as
-    frames are demoted (the reference's sequential semantics — each
-    demotion affects later redundancy checks — are preserved).
+    Fully batched host path (this runs before EVERY KGBA; the previous
+    per-frame loop called covisible_frames — an O(num_obs) scan — for
+    every keyframe and dominated KGBA setup at the multi-thousand-frame
+    regime):
+
+      * the redundancy ratio test runs for ALL frames at once — two
+        bincounts over the COO observation table per round;
+      * per-frame work (straddle guard, reference pick) happens only for
+        frames that PASS the vectorized test — a handful in steady state;
+      * the reference's sequential-demotion semantics (each demotion
+        lowers later frames' seen-by-keyframe counts, base/map.cc:428-640)
+        are preserved by greedy track-disjoint rounds: within a round a
+        frame is demoted only if no earlier demotion this round touched
+        its tracks; deferred frames re-test next round under the updated
+        counts.  Counts only decrease, so a frame that ever fails the
+        ratio test can never pass later — re-testing is safe.
 
     Includes the reference's step-3 connectivity guard
     (base/map.cc:475-498): a frame may be demoted only if the covisible
@@ -60,55 +72,80 @@ def keyframe_selection(m: SfMMap, sequential: bool = True) -> int:
     from a 250-frame circuit (measured: 4 disconnected keyframe
     components), which poisons both KGBA and the loop pose graph."""
     _ensure_fields(m)
-    demoted = 0
-    # per-track count of observations from registered keyframes
     n = m.num_obs_slots
     ot = m.obs_track[:n]
     of = m.obs_frame[:n]
-    kf_obs = (ot >= 0) & m.registered[of] & m.is_keyframe[of]
-    per_track_kf = np.bincount(ot[kf_obs], minlength=m.num_tracks)
-    for f in range(m.num_frames):
-        if not m.registered[f] or not m.is_keyframe[f]:
-            continue
-        if f in (m.init_id1, m.init_id2):  # reference: map.cc:441-442
-            continue
-        p2d, tids = m.frame_observations(f)
-        if len(p2d) < _MIN_OBS_DEMOTE:
-            continue
-        # f itself is a registered keyframe here, so subtract its own obs
-        seen_by_others = per_track_kf[tids] - 1
-        redundant = int(np.count_nonzero(seen_by_others >= _SEEN_BY_OTHERS))
-        if redundant < _REDUNDANT_RATIO * len(p2d):
-            continue
-        if sequential and not _straddle_connected(m, f):
-            continue
-        # pick the covisible keyframe with most shared tracks as reference
-        neigh, counts = m.covisible_frames(f)
-        ref = -1
-        for f2, c in zip(neigh, counts):
-            if m.is_keyframe[f2] and f2 != f:
-                ref = int(f2)
-                break
-        if ref < 0:
-            continue
-        m.is_keyframe[f] = False
-        m.ref_frame[f] = ref
-        _store_rel_pose(m, f, ref)
-        demoted += 1
-        np.subtract.at(per_track_kf, tids, 1)  # f's obs no longer keyframe
-    # re-anchor any existing non-keyframes to current keyframe poses
-    for f in range(m.num_frames):
-        if m.registered[f] and not m.is_keyframe[f] and m.ref_frame[f] >= 0:
-            _store_rel_pose(m, f, int(m.ref_frame[f]))
+    live = (ot >= 0) & m.registered[of]
+    ot_l = ot[live]
+    of_l = of[live]
+    kf_l = m.is_keyframe[of_l]
+    per_track_kf = np.bincount(ot_l[kf_l], minlength=m.num_tracks)
+    n_obs = np.bincount(of_l, minlength=m.num_frames)
+    candidate = m.registered & m.is_keyframe & (n_obs >= _MIN_OBS_DEMOTE)
+    for fid in (m.init_id1, m.init_id2):  # reference: map.cc:441-442
+        if fid is not None and fid >= 0:
+            candidate[fid] = False
+    demoted = 0
+    while True:
+        # ratio test for every frame in one pass
+        ind = (per_track_kf[ot_l] - 1) >= _SEEN_BY_OTHERS
+        red_cnt = np.bincount(of_l[ind], minlength=m.num_frames)
+        passing = np.nonzero(
+            candidate & (red_cnt >= _REDUNDANT_RATIO * n_obs)
+        )[0]
+        if len(passing) == 0:
+            break
+        touched = np.zeros(m.num_tracks, bool)
+        any_demoted = False
+        for f in passing:
+            f = int(f)
+            t = m.track_of[f]
+            tids = t[t >= 0]
+            if touched[tids].any():
+                continue  # counts changed this round — re-test next round
+            neigh, _counts = m.covisible_frames(f)
+            if sequential and not _straddle_connected(m, f, neigh):
+                candidate[f] = False  # single-shot check, as the reference
+                continue
+            # covisible keyframe with most shared tracks as reference
+            ref = -1
+            for f2 in neigh:
+                if m.is_keyframe[f2] and int(f2) != f:
+                    ref = int(f2)
+                    break
+            if ref < 0:
+                candidate[f] = False
+                continue
+            m.is_keyframe[f] = False
+            candidate[f] = False
+            m.ref_frame[f] = ref
+            _store_rel_pose(m, f, ref)
+            np.subtract.at(per_track_kf, tids, 1)
+            touched[tids] = True
+            demoted += 1
+            any_demoted = True
+        if not any_demoted:
+            break
+    # re-anchor existing non-keyframes to current keyframe poses (batched)
+    sel = m.registered & ~m.is_keyframe & (m.ref_frame >= 0)
+    idx = np.nonzero(sel)[0]
+    if len(idx):
+        refs = m.ref_frame[idx]
+        q_rel, t_rel = G.pose_relative_np(
+            m.q[idx], m.t[idx], m.q[refs], m.t[refs]
+        )
+        m.ref_rel_q[idx] = q_rel
+        m.ref_rel_t[idx] = t_rel
     return demoted
 
 
-def _straddle_connected(m: SfMMap, f: int) -> bool:
+def _straddle_connected(m: SfMMap, f: int, neigh=None) -> bool:
     """Reference step-3 guard (base/map.cc:475-498): every consecutive
     pair of covisible keyframes (id1 < f < id2) must share >=
     _MIN_OBS_DEMOTE tracks directly, or demoting f would cut the
     sequential keyframe chain."""
-    neigh, _counts = m.covisible_frames(f)
+    if neigh is None:
+        neigh, _counts = m.covisible_frames(f)
     covis_kf = sorted(
         int(f2) for f2 in neigh if m.is_keyframe[int(f2)] and int(f2) != f
     )
@@ -146,16 +183,21 @@ def update_by_ref_frame(m: SfMMap, ref_scale=None):
     re-emits points and frames through the solved scale,
     ba_solver.cc:269-327)."""
     _ensure_fields(m)
-    for f in range(m.num_frames):
-        if not m.registered[f] or m.is_keyframe[f] or m.ref_frame[f] < 0:
-            continue
-        ref = int(m.ref_frame[f])
-        s = 1.0 if ref_scale is None else float(ref_scale[ref])
-        q, t = G.pose_compose_np(
-            m.ref_rel_q[f], s * m.ref_rel_t[f], m.q[ref], m.t[ref]
-        )
-        m.q[f] = q
-        m.t[f] = t
+    sel = m.registered & ~m.is_keyframe & (m.ref_frame >= 0)
+    idx = np.nonzero(sel)[0]
+    if len(idx) == 0:
+        return
+    refs = m.ref_frame[idx]
+    s = (
+        np.ones((len(idx), 1))
+        if ref_scale is None
+        else np.asarray(ref_scale)[refs][:, None]
+    )
+    q, t = G.pose_compose_np(
+        m.ref_rel_q[idx], s * m.ref_rel_t[idx], m.q[refs], m.t[refs]
+    )
+    m.q[idx] = q
+    m.t[idx] = t
 
 
 def motion_only_refine(m: SfMMap, frames, iters: int = 10,

@@ -122,11 +122,14 @@ def _build_rows(ids, other_ids, n_seg, O_full, max_width, bucket_lo):
     rows_per_seg = np.maximum((counts + M - 1) // M, 1)
     row_base = np.cumsum(rows_per_seg) - rows_per_seg
     n_rows = int(rows_per_seg.sum())
-    # power-of-two row bucket: multiples-of-64 rounding produced a long
-    # tail of distinct shapes, and every distinct (R, M) pair compiles a
-    # fresh LM executable (10-60 s each on this 2-vCPU host) — padding is
-    # orders of magnitude cheaper than one extra compile
-    R = _bucket(n_rows, 8)
+    # quarter-octave row bucket {2^k, 1.25, 1.5, 1.75}: multiples-of-64
+    # rounding produced a long tail of distinct shapes (every distinct
+    # (R, M) pair compiles a fresh LM executable, 10-60 s each on this
+    # 2-vCPU host), but plain power-of-two wastes up to 2x — measured
+    # 1.88x on the 140k-obs bench (600 rows bucketed to 1024), which
+    # inflates EVERY observation-sized op in the solver.  Four buckets
+    # per octave caps padding at 25% for ~2x more shapes.
+    R = _bucket_quarter(n_rows, 8)
 
     seg = np.zeros(R, np.int32)
     seg[:n_rows] = np.repeat(np.arange(n_seg, dtype=np.int32), rows_per_seg)
@@ -173,6 +176,20 @@ def _bucket(n: int, lo: int = 8) -> int:
     b = lo
     while b < n:
         b *= 2
+    return b
+
+
+def _bucket_quarter(n: int, lo: int = 8) -> int:
+    """Quarter-octave bucket: smallest {2^k * m/8, m in 5..8} >= n."""
+    b = lo
+    while b < n:
+        b *= 2
+    if b <= lo:
+        return b
+    q = b // 8
+    for m in (5, 6, 7):
+        if q * m >= n:
+            return q * m
     return b
 
 
@@ -352,18 +369,24 @@ def _residuals_and_jacobians(p: BAProblem, with_intri: bool = False):
     Jp = jnp.einsum("oij,ojk->oik", B, R)  # [O,2,3]
     if not with_intri:
         return r, z, Jc, Jp
-    Ji = _intri_jacobian(p, intri, proj)  # [O,2,8]
+    tie = (
+        p.tie_f[p.obs_cam].astype(r.dtype)
+        if p.tie_f is not None
+        else jnp.zeros(r.shape[:-1], r.dtype)
+    )
+    Ji = _intri_jacobian(intri, proj, tie)  # [O,2,8]
     return r, z, jnp.concatenate([Jc, Ji], axis=-1), Jp
 
 
-def _intri_jacobian(p: BAProblem, intri, proj):
-    """Analytic d pix / d intrinsic-tangent, [O,2,8].
+def _intri_jacobian(intri, proj, tie):
+    """Analytic d pix / d intrinsic-tangent, [..., 2, 8].
 
     Tangent layout: (dlog fx, dlog fy, dcx, dcy, dk1, dk2, dp1, dp2);
     log-focal keeps the column scale commensurate with the pose columns
-    (both ~pixel-sized) for the bf16 Schur products.  When tie_f is set
+    (both ~pixel-sized) for the bf16 Schur products.  When tie is 1
     (single-focal models) column 0 carries d/d log f for BOTH axes and
-    column 1 is zeroed (its mask is also frozen)."""
+    column 1 is zeroed (its mask is also frozen).  intri and tie
+    broadcast against proj's batch shape."""
     fx, fy = intri[..., 0], intri[..., 1]
     u, v = proj[..., 0], proj[..., 1]
     d = Cam.distort(intri, proj)  # distorted normalized coords
@@ -372,11 +395,9 @@ def _intri_jacobian(p: BAProblem, intri, proj):
     r4 = r2 * r2
     zeros = jnp.zeros_like(u)
     ones = jnp.ones_like(u)
-    tie = (
-        p.tie_f[p.obs_cam].astype(u.dtype)
-        if p.tie_f is not None
-        else jnp.zeros_like(u)
-    )
+    fx = jnp.broadcast_to(fx, u.shape)
+    fy = jnp.broadcast_to(fy, u.shape)
+    tie = jnp.broadcast_to(tie, u.shape)
     # row-x entries per tangent column
     jx = jnp.stack(
         [
@@ -431,6 +452,79 @@ def _residuals_only(p: BAProblem):
     proj = pc[..., :2] / zs[..., None]
     pix = Cam.normalized_to_image(intri, proj)
     return pix - p.obs_uv, z
+
+
+# ---------------------------------------------------------------------------
+# Camera-row-native evaluation (requires the camera-major packed table)
+# ---------------------------------------------------------------------------
+#
+# With pack_camera_major the observation table IS the camera-ELL row
+# layout [Rc, Mc] flattened, and every slot in a row shares one camera.
+# Evaluating in that layout fetches camera data (q/t/intrinsics, 15
+# floats) once per ROW instead of once per OBSERVATION — on the 140k-obs
+# bench that removes ~16 MB of gather traffic per pass over the table,
+# and there are three such passes per LM iteration (Jacobian build,
+# Schur setup, accept-test residuals).  The flat-layout twins above stay
+# for the sharded path (parallel/dist_ba.py), whose local slices are not
+# camera-major.
+
+
+def _row_project(p: BAProblem, ell: EllIndex):
+    """Shared camera-row projection chain: returns (R [Rc,3,3],
+    pc [Rc,Mc,3], z, zs, proj, intri [Rc,8], r [Rc,Mc,2])."""
+    Rc, Mc = ell.cam.slots.shape
+    seg = ell.cam.seg  # [Rc]
+    q = p.cam_q[seg]
+    t = p.cam_t[seg]
+    intri = p.cam_intri[seg]
+    xyz = p.points[ell.cam.other]  # [Rc,Mc,3]
+    uv = p.obs_uv.reshape(Rc, Mc, 2)
+    R = G.quat_to_rotmat(q)  # [Rc,3,3]
+    pc = jnp.einsum("rij,rmj->rmi", R, xyz) + t[:, None, :]
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = pc[..., :2] / zs[..., None]
+    pix = Cam.normalized_to_image(intri[:, None, :], proj)
+    return R, pc, z, zs, proj, intri, pix - uv
+
+
+def _residuals_only_rows(p: BAProblem, ell: EllIndex):
+    """Row-layout residuals: ([Rc,Mc,2], [Rc,Mc])."""
+    _, _, z, _, _, _, r = _row_project(p, ell)
+    return r, z
+
+
+def _residuals_and_jacobians_rows(p: BAProblem, ell: EllIndex,
+                                  with_intri: bool = False):
+    """Row-layout residuals [Rc,Mc,2], depths [Rc,Mc], Jc [Rc,Mc,2,D]
+    (D=6 pose, 14 with intrinsics), Jp [Rc,Mc,2,3].  Same analytic chain
+    as _residuals_and_jacobians, with the per-camera factors computed at
+    row rank and broadcast across slots."""
+    R, pc, z, zs, proj, intri, r = _row_project(p, ell)
+    xyz = p.points[ell.cam.other]
+    f2 = intri[:, None, :2]  # [Rc,1,2]
+    Jd = Cam.distort_jacobian(intri[:, None, :], proj)  # [Rc,Mc,2,2]
+    A = f2[..., :, None] * Jd
+    inv_z = 1.0 / zs
+    Jproj = jnp.zeros(pc.shape[:-1] + (2, 3), pc.dtype)
+    Jproj = Jproj.at[..., 0, 0].set(inv_z)
+    Jproj = Jproj.at[..., 1, 1].set(inv_z)
+    Jproj = Jproj.at[..., 0, 2].set(-pc[..., 0] * inv_z * inv_z)
+    Jproj = Jproj.at[..., 1, 2].set(-pc[..., 1] * inv_z * inv_z)
+    B = jnp.einsum("...ij,...jk->...ik", A, Jproj)  # [Rc,Mc,2,3]
+    Rsk = jnp.einsum("rij,rmjk->rmik", R, G.skew(xyz))  # [Rc,Mc,3,3]
+    Jw = jnp.einsum("...ij,...jk->...ik", B, -Rsk)
+    Jc = jnp.concatenate([Jw, B], axis=-1)  # [Rc,Mc,2,6]
+    Jp = jnp.einsum("rmij,rjk->rmik", B, R)  # [Rc,Mc,2,3]
+    if not with_intri:
+        return r, z, Jc, Jp
+    tie = (
+        p.tie_f[ell.cam.seg].astype(r.dtype)[:, None]
+        if p.tie_f is not None
+        else jnp.zeros(r.shape[:-1], r.dtype)
+    )
+    Ji = _intri_jacobian(intri[:, None, :], proj, tie)  # [Rc,Mc,2,8]
+    return r, z, jnp.concatenate([Jc, Ji], axis=-1), Jp
 
 
 def _robust_cost_and_weight(r, z, obs_w, huber_px):
@@ -565,17 +659,26 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     C = p.cam_q.shape[0]
     P = p.points.shape[0]
     red = reduce_fn if reduce_fn is not None else (lambda x: x)
-    Jc16 = Jc.astype(jnp.bfloat16)
-    Jp16 = Jp.astype(jnp.bfloat16)
+    row_native = Jc.ndim == 4  # [Rc,Mc,2,D] from _*_rows (packed table)
     # packed per-obs scalars: (w, w·r0, w·r1, pad) — one gather per side
     sc = jnp.concatenate(
-        [w[:, None], r * w[:, None], jnp.zeros_like(w)[:, None]], axis=1
-    ).astype(jnp.bfloat16)  # [O, 4]
+        [w[..., None], r * w[..., None], jnp.zeros_like(w)[..., None]],
+        axis=-1,
+    ).astype(jnp.bfloat16)  # [O, 4] or [Rc,Mc,4]
 
     D = Jc.shape[-1]  # 6 pose-only, 14 with intrinsics
     Rc, Mc = ell.cam.slots.shape
-    Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,D] bf16
-    scg = _gather_rows(sc, ell.cam)  # [Rc,Mc,4] bf16
+    if row_native:
+        Jcg = Jc.astype(jnp.bfloat16)  # already row layout, no gather
+        scg = sc
+        Jp16 = Jp.astype(jnp.bfloat16).reshape(-1, 2, 3)
+        sc_flat = sc.reshape(-1, 4)
+    else:
+        Jc16 = Jc.astype(jnp.bfloat16)
+        Jp16 = Jp.astype(jnp.bfloat16)
+        sc_flat = sc
+        Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,D] bf16
+        scg = _gather_rows(sc, ell.cam)  # [Rc,Mc,4] bf16
     A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, D)
     B = Jcg.reshape(Rc, Mc * 2, D)
     U_rows = jnp.einsum(
@@ -593,7 +696,7 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
 
     Rp, Lw = ell.pt.slots.shape
     Jpg = _gather_rows(Jp16, ell.pt)  # [Rp,Lw,2,3] bf16
-    spg = _gather_rows(sc, ell.pt)  # [Rp,Lw,4] bf16
+    spg = _gather_rows(sc_flat, ell.pt)  # [Rp,Lw,4] bf16
     A2 = (Jpg * spg[..., 0][..., None, None]).reshape(Rp, Lw * 2, 3)
     B2 = Jpg.reshape(Rp, Lw * 2, 3)
     V_rows = jnp.einsum(
@@ -699,25 +802,41 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
 
     cd = compute_dtype
     ptm = (~p.fix_pt).astype(w.dtype)
-    wm = (w * ptm[p.obs_pt]).astype(cd)
-    Lg = L.astype(cd)[p.obs_pt]  # [O,3,3]
-    Z = (
-        jnp.einsum("orj,ojk->ork", Jp.astype(cd), Lg)
-        * wm[:, None, None]
-    )  # [O,2,3]
-    m6g = _cam_colmask(p, with_intri).astype(cd)[p.obs_cam]  # [O,D]
-    Y = (
-        jnp.einsum(
-            "ori,ork->oik", Jc.astype(cd), Z,
-            preferred_element_type=jnp.float32,
-        )
-        * m6g[:, :, None]
-    ).astype(cd)  # [O,D,3]
-
     Rc, Mc = ell.cam.slots.shape
     Rp, Lw = ell.pt.slots.shape
-    Ypt = _gather_rows(Y, ell.pt)  # [Rp,Lw,D,3] bf16
-    Ycam = _gather_rows(Y, ell.cam)  # [Rc,Mc,D,3] bf16
+    if Jc.ndim == 4:  # row-native layout [Rc,Mc,2,D] (packed table)
+        wm = (w * ptm[ell.cam.other]).astype(cd)  # [Rc,Mc]
+        Lg = L.astype(cd)[ell.cam.other]  # [Rc,Mc,3,3]
+        Z = (
+            jnp.einsum("...ij,...jk->...ik", Jp.astype(cd), Lg)
+            * wm[..., None, None]
+        )  # [Rc,Mc,2,3]
+        m6g = _cam_colmask(p, with_intri).astype(cd)[ell.cam.seg]  # [Rc,D]
+        Ycam = (
+            jnp.einsum(
+                "...ri,...rk->...ik", Jc.astype(cd), Z,
+                preferred_element_type=jnp.float32,
+            )
+            * m6g[:, None, :, None]
+        ).astype(cd)  # [Rc,Mc,D,3]
+        Ypt = _gather_obs(Ycam.reshape(-1, D, 3), ell.pt.slots)
+    else:
+        wm = (w * ptm[p.obs_pt]).astype(cd)
+        Lg = L.astype(cd)[p.obs_pt]  # [O,3,3]
+        Z = (
+            jnp.einsum("orj,ojk->ork", Jp.astype(cd), Lg)
+            * wm[:, None, None]
+        )  # [O,2,3]
+        m6g = _cam_colmask(p, with_intri).astype(cd)[p.obs_cam]  # [O,D]
+        Y = (
+            jnp.einsum(
+                "ori,ork->oik", Jc.astype(cd), Z,
+                preferred_element_type=jnp.float32,
+            )
+            * m6g[:, :, None]
+        ).astype(cd)  # [O,D,3]
+        Ypt = _gather_rows(Y, ell.pt)  # [Rp,Lw,D,3] bf16
+        Ycam = _gather_rows(Y, ell.cam)  # [Rc,Mc,D,3] bf16
     cam_ids = ell.pt.other  # [Rp,Lw]
     pt_ids = ell.cam.other  # [Rc,Mc]
 
@@ -955,10 +1074,18 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
         else contextlib.nullcontext()
     )
     compute_dtype = jnp.float32 if opts.precise else jnp.bfloat16
+    # camera-major packed tables evaluate in the row-native layout:
+    # camera data fetched per row, not per observation (see _row_project)
+    row_native = ell is not None and ell.cam.contig
 
     def cost_of(prob):
-        r, z = _residuals_only(prob)
-        c, _ = _robust_cost_and_weight(r, z, prob.obs_w, opts.huber_px)
+        if row_native:
+            r, z = _residuals_only_rows(prob, ell)
+            w_full = prob.obs_w.reshape(ell.cam.slots.shape)
+        else:
+            r, z = _residuals_only(prob)
+            w_full = prob.obs_w
+        c, _ = _robust_cost_and_weight(r, z, w_full, opts.huber_px)
         return c
 
     def lm_cond(carry):
@@ -975,10 +1102,17 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
 
     def lm_body(carry):
         it, prob, lam, cost, done = carry
-        r, z, Jc, Jp = _residuals_and_jacobians(
-            prob, with_intri=opts.optimize_intrinsics
-        )
-        _, w = _robust_cost_and_weight(r, z, prob.obs_w, opts.huber_px)
+        if row_native:
+            r, z, Jc, Jp = _residuals_and_jacobians_rows(
+                prob, ell, with_intri=opts.optimize_intrinsics
+            )
+            w_full = prob.obs_w.reshape(ell.cam.slots.shape)
+        else:
+            r, z, Jc, Jp = _residuals_and_jacobians(
+                prob, with_intri=opts.optimize_intrinsics
+            )
+            w_full = prob.obs_w
+        _, w = _robust_cost_and_weight(r, z, w_full, opts.huber_px)
         if ell is not None:
             U, V, bc, bp = _build_normal_blocks_ell(prob, ell, r, Jc, Jp, w)
             dx_c, dx_p = _schur_solve_ell(
