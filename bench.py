@@ -26,7 +26,8 @@ import time
 import numpy as np
 
 
-def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0):
+def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0,
+                    cam_width=256, pt_width=32):
     """Synthetic KITTI-scale BA problem; returns (packed problem, ell,
     n_obs).  Shared by bench_ba and scripts/profile_ba.py."""
     import jax.numpy as jnp
@@ -89,7 +90,9 @@ def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0):
 
     # production path: camera-major packed table (camera-side ELL rows are
     # contiguous reshapes; only the point-side transpose-gather remains)
-    prob, ell = ba_mod.pack_camera_major(prob)
+    prob, ell = ba_mod.pack_camera_major(
+        prob, cam_width=cam_width, pt_width=pt_width
+    )
     return prob, ell, len(obs_cam)
 
 
@@ -120,7 +123,7 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         r2, z2 = ba_mod._residuals_only_rows(cand, ell)
         c2, _ = ba_mod._robust_cost_and_weight(r2, z2, w_row, 4.0)
         accept = c2 < cost
-        out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), p, cand)
+        out = ba_mod._select_accept(accept, p, cand)
         lam2 = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
         return out, lam2, jnp.where(accept, c2, cost)
 

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--pts", type=int, default=20000)
     ap.add_argument("--obs_per_pt", type=int, default=7)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--cam_width", type=int, default=256)
+    ap.add_argument("--pt_width", type=int, default=32)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +49,8 @@ def main():
     from xrsfm_tpu.optim import ba as ba_mod
 
     prob, ell, n_obs = bench.make_ba_problem(
-        args.cams, args.pts, args.obs_per_pt
+        args.cams, args.pts, args.obs_per_pt,
+        cam_width=args.cam_width, pt_width=args.pt_width,
     )
     print(f"device={jax.devices()[0].platform} n_obs={n_obs} "
           f"table_slots={len(prob.obs_cam)} "
@@ -97,7 +100,7 @@ def main():
     def res_step(p, lam, tick):
         import dataclasses
 
-        p2 = dataclasses.replace(p, points=p.points + tick * 1e-30)
+        p2 = dataclasses.replace(p, points=p.points + tick * 1e-12)
         r, z = ba_mod._residuals_only_rows(p2, ell)
         c, _ = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
         return p, lam, c
@@ -106,12 +109,63 @@ def main():
     def jn_step(p, lam, tick):
         import dataclasses
 
-        p2 = dataclasses.replace(p, points=p.points + tick * 1e-30)
+        p2 = dataclasses.replace(p, points=p.points + tick * 1e-12)
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
         c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(p2, ell, r, Jc, Jp, w)
         return p, lam, c + jnp.sum(bc) * 1e-30 + jnp.sum(bp) * 1e-30 + \
             jnp.sum(U) * 1e-30 + jnp.sum(V) * 1e-30
+
+    # --- Schur setup sub-phases (replicates _schur_solve_ell pieces)
+    def setup_probe(upto):
+        def step(p, lam, tick):
+            import dataclasses
+
+            p2 = dataclasses.replace(p, points=p.points + tick * 1e-12)
+            r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
+            c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
+            U, V, bc, bp = ba_mod._build_normal_blocks_ell(
+                p2, ell, r, Jc, Jp, w
+            )
+            D = Jc.shape[-1]
+            eyeD = jnp.eye(D, dtype=U.dtype)
+            eye3 = jnp.eye(3, dtype=U.dtype)
+            Ud = U + lam * (U * eyeD) + 1e-8 * eyeD
+            Vd = V + lam * (V * eye3) + 1e-8 * eye3
+            Vinv = ba_mod._inv3x3(Vd)
+            L = ba_mod._chol3x3(Vinv)
+            cd = jnp.bfloat16
+            ptm = (~p2.fix_pt).astype(w.dtype)
+            wm = (w * ptm[ell.cam.other]).astype(cd)
+            Lg = L.astype(cd)[ell.cam.other]
+            Z = (jnp.einsum("...ij,...jk->...ik", Jp.astype(cd), Lg)
+                 * wm[..., None, None])
+            m6g = ba_mod._cam_colmask(p2, False).astype(cd)[ell.cam.seg]
+            Ycam = (jnp.einsum("...ri,...rk->...ik", Jc.astype(cd), Z,
+                               preferred_element_type=jnp.float32)
+                    * m6g[:, None, :, None]).astype(cd)
+            out = c + jnp.sum(Ycam.astype(jnp.float32)) * 1e-30
+            if upto == "Y":
+                return p, lam, out
+            Ypt = ba_mod._gather_obs(Ycam.reshape(-1, D, 3), ell.pt.slots)
+            out = out + jnp.sum(Ypt.astype(jnp.float32)) * 1e-30
+            if upto == "Ypt":
+                return p, lam, out
+            S_rows = jax.lax.dot_general(
+                Ycam, Ycam, (((1, 3), (1, 3)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            C = p2.cam_q.shape[0]
+            Sdiag = Ud - jax.ops.segment_sum(
+                S_rows, ell.cam.seg, num_segments=C
+            ) + 1e-7 * eyeD
+            Minv = ba_mod._inv_spd(Sdiag)
+            out = out + jnp.sum(Minv) * 1e-30
+            if upto == "Sdiag":
+                return p, lam, out
+            return p, lam, out
+
+        return step
 
     # --- full lm_step at k CG iterations
     def full_step_k(k):
@@ -128,9 +182,7 @@ def main():
             r2, z2 = ba_mod._residuals_only_rows(cand, ell)
             c2, _ = ba_mod._robust_cost_and_weight(r2, z2, w_row(p), 4.0)
             accept = c2 < cost
-            out = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, b, a), p, cand
-            )
+            out = ba_mod._select_accept(accept, p, cand)
             lam2 = jnp.clip(
                 jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
             )
@@ -142,6 +194,8 @@ def main():
     out = {}
     out["residuals_ms"] = scan_time(res_step, N) * 1e3
     out["jac_normal_ms"] = scan_time(jn_step, N) * 1e3
+    for upto in ("Y", "Ypt", "Sdiag"):
+        out[f"setup_{upto}_ms"] = scan_time(setup_probe(upto), N) * 1e3
     for k in (0, 2, 4, 8):
         out[f"full_cg{k}_ms"] = scan_time(full_step_k(k), N) * 1e3
     out["per_cg_iter_ms"] = (out["full_cg8_ms"] - out["full_cg0_ms"]) / 8.0

@@ -46,6 +46,13 @@ def main():
         print("[run_test_data] reconstruction produced no model", flush=True)
         sys.exit(1)
 
+    # per-point RGB from the source images (reference:
+    # scripts/pointcloud_color_calculator.py)
+    from pointcloud_color import add_color
+
+    n_colored = add_color(images, out_dir)
+    print(f"[run_test_data] colored {n_colored} points", flush=True)
+
     if a.estimate_scale:
         cli.main([
             "estimate_scale", images, out_dir, "--tag_length", str(a.tag_length)

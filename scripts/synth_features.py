@@ -84,50 +84,82 @@ def kitti_scene(rng, n_frames, step=0.5):
 
 
 def unordered_scene(rng, n_frames, half=14.0):
-    """Plaza: cameras inside, looking outward at 4 facades of points."""
+    """Landmark ring (the actual 1DSfM regime — internet photos of one
+    central landmark, e.g. Alamo/NYC_Library): cameras scattered on an
+    annulus looking INWARD at a central building, yaw jittered.  Nearby
+    viewpoints overlap heavily (dense covisibility, long tracks); views
+    from opposite sides connect around the ring."""
+    ang = rng.uniform(0, 2 * np.pi, n_frames)
+    rad = rng.uniform(0.55 * half, 1.15 * half, n_frames)
     centers = np.zeros((n_frames, 3))
-    centers[:, 0] = rng.uniform(-half * 0.5, half * 0.5, n_frames)
-    centers[:, 2] = rng.uniform(-half * 0.5, half * 0.5, n_frames)
-    centers[:, 1] = rng.uniform(-0.5, 0.5, n_frames)
-    yaw = rng.uniform(0, 2 * np.pi, n_frames)
+    centers[:, 0] = rad * np.cos(ang)
+    centers[:, 2] = rad * np.sin(ang)
+    centers[:, 1] = rng.uniform(-0.5, 1.5, n_frames)
     R = np.zeros((n_frames, 3, 3))
     for i in range(n_frames):
-        tgt = centers[i] + np.array(
-            [np.cos(yaw[i]), rng.uniform(-0.1, 0.1), np.sin(yaw[i])]
-        )
+        # aim at the building with moderate jitter
+        tgt = np.array([
+            rng.uniform(-2.0, 2.0), rng.uniform(-1.0, 2.0),
+            rng.uniform(-2.0, 2.0),
+        ])
         R[i] = look_at_R(centers[i], tgt)
-    # facade points on the 4 walls of the plaza
+    # central building: 4 facades (half-size s) with protruding details
+    # (depth variation breaks the per-camera focal-depth ambiguity),
+    # plus sparse ground points around it
     pts = []
-    npw = 6000
+    s = 0.3 * half
+    npw = 5000
     for wall in range(4):
-        a = rng.uniform(-half, half, npw)
-        h = rng.uniform(-3.0, 5.0, npw)
+        a = rng.uniform(-s, s, npw)
+        h = rng.uniform(-1.0, 6.0, npw)
+        relief = rng.uniform(0.0, 1.2, npw)  # protrusions
         p = np.zeros((npw, 3))
         if wall == 0:
-            p[:, 0], p[:, 2] = a, half
+            p[:, 0], p[:, 2] = a, s - relief
         elif wall == 1:
-            p[:, 0], p[:, 2] = a, -half
+            p[:, 0], p[:, 2] = a, -s + relief
         elif wall == 2:
-            p[:, 0], p[:, 2] = half, a
+            p[:, 0], p[:, 2] = s - relief, a
         else:
-            p[:, 0], p[:, 2] = -half, a
+            p[:, 0], p[:, 2] = -s + relief, a
         p[:, 1] = h
         pts.append(p)
+    n_ground = 4000
+    gr = np.zeros((n_ground, 3))
+    rr = rng.uniform(0.35 * half, 0.9 * half, n_ground)
+    aa = rng.uniform(0, 2 * np.pi, n_ground)
+    gr[:, 0] = rr * np.cos(aa)
+    gr[:, 2] = rr * np.sin(aa)
+    gr[:, 1] = rng.uniform(-1.2, -0.8, n_ground)
+    pts.append(gr)
     return centers, R, np.concatenate(pts)
 
 
 def project_all(centers, R, pts, rng, max_kp=700, z_range=(1.0, 40.0),
-                noise_px=0.4):
+                noise_px=0.4, focals=None, k1s=None):
     """Visibility + projection for every frame.  Returns per-frame
-    (point_ids, uv_px) with at most max_kp keypoints (nearest first)."""
+    (point_ids, uv_px) with at most max_kp keypoints (nearest first).
+
+    focals/k1s (optional, [n_frames]): per-image SIMPLE_RADIAL cameras —
+    uv = f * x(1 + k r^2) + c in normalized coords (the 1DSfM regime,
+    reference rec_1dsfm.cc:46-55)."""
     out = []
     for i in range(len(centers)):
+        f_i = FX if focals is None else float(focals[i])
+        k_i = 0.0 if k1s is None else float(k1s[i])
         pc = (pts - centers[i]) @ R[i].T
         z = pc[:, 2]
         ok = (z > z_range[0]) & (z < z_range[1])
-        u = FX * pc[:, 0] / np.where(ok, z, 1.0) + CX
-        v = FX * pc[:, 1] / np.where(ok, z, 1.0) + CY
+        zz = np.where(ok, z, 1.0)
+        x = pc[:, 0] / zz
+        y = pc[:, 1] / zz
+        r2 = x * x + y * y
+        d = 1.0 + k_i * r2
+        u = f_i * x * d + CX
+        v = f_i * y * d + CY
         ok &= (u > 8) & (u < W - 8) & (v > 8) & (v < H - 8)
+        # keep the distortion model valid (monotone) inside the FOV
+        ok &= d > 0.6
         ids = np.nonzero(ok)[0]
         if len(ids) > max_kp:
             ids = ids[np.argsort(z[ids])[:max_kp]]
@@ -135,6 +167,32 @@ def project_all(centers, R, pts, rng, max_kp=700, z_range=(1.0, 40.0),
         uv = uv + rng.normal(scale=noise_px, size=uv.shape)
         out.append((ids.astype(np.int64), uv.astype(np.float32)))
     return out
+
+
+def synth_descriptors(frames_obs, n_points, rng, noise=0.25,
+                      sparsity=0.65):
+    """Per-3D-point SIFT-like descriptors + per-observation noise, so the
+    REAL matching stage (VLAD retrieval, ratio-test matching, geometric
+    verification, covisibility expansion) runs on this workspace instead
+    of consuming the GT pair list.
+
+    The matcher consumes the reference's uint8 quantization — L1-root
+    normalized, scaled by 512, cos(angle) = <d1,d2>/512^2 (ops/matching.py;
+    reference sift_extractor.h:22-34) — so descriptors must live on that
+    manifold: sparse non-negative raw histograms (real SIFT is ~60%
+    near-zero bins, which keeps unrelated descriptors' angular distance
+    above the 0.7 accept gate), L1-root normalized per observation after
+    multiplicative noise."""
+    raw = rng.exponential(1.0, size=(n_points, 128)).astype(np.float32)
+    raw *= rng.random((n_points, 128)) > sparsity  # sparse support
+    raw += 1e-6
+    descs = []
+    for ids, _uv in frames_obs:
+        r = raw[ids] * (1.0 + rng.normal(scale=noise, size=(len(ids), 128))
+                        ).clip(0.05)
+        v = np.sqrt(r / r.sum(axis=1, keepdims=True))
+        descs.append(np.clip(512.0 * v, 0, 255).astype(np.uint8))
+    return descs
 
 
 def build_pairs(frames_obs, n_frames, kind, rng, min_shared=30,
@@ -215,15 +273,33 @@ def build_pairs(frames_obs, n_frames, kind, rng, min_shared=30,
     return pairs
 
 
-def main(out_dir, scene="kitti", n_frames=1000, seed=0):
+def main(out_dir, scene="kitti", n_frames=1000, seed=0,
+         per_image_cameras=False, focal_noise=0.08, descriptors=False):
+    """per_image_cameras: the 1DSfM regime — every frame gets its own
+    SIMPLE_RADIAL camera (true focal U[430,570], k1 U[-0.08,0.04]);
+    camera_info.txt carries EXIF-like focals perturbed by
+    U[-focal_noise, +focal_noise] with k=0 (reference rec_1dsfm.cc:46-55
+    starts from noisy EXIF focals and zero distortion), and
+    gt_cameras.txt records the true parameters for evaluation.
+
+    descriptors: synthesize per-point descriptors (+ size.bin) so the
+    real matching stage runs on this workspace (fp.bin still carries the
+    GT-covisibility pair list for matching-free reconstruction runs)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     if scene == "kitti":
         centers, R, pts = kitti_scene(rng, n_frames)
     else:
         centers, R, pts = unordered_scene(rng, n_frames)
-    frames_obs = project_all(centers, R, pts, rng)
+    focals = k1s = None
+    if per_image_cameras:
+        focals = rng.uniform(430.0, 570.0, n_frames)
+        k1s = rng.uniform(-0.08, 0.04, n_frames)
+    frames_obs = project_all(centers, R, pts, rng, focals=focals, k1s=k1s)
     names = [f"img{i:05d}.png" for i in range(n_frames)]
+    descs = (
+        synth_descriptors(frames_obs, len(pts), rng) if descriptors else None
+    )
     feats = []
     for i, (ids, uv) in enumerate(frames_obs):
         kp = np.zeros((len(uv), 4), np.float32)
@@ -231,15 +307,34 @@ def main(out_dir, scene="kitti", n_frames=1000, seed=0):
         kp[:, 2] = 2.0
         feats.append(IOF.FrameFeatures(
             name=names[i], keypoints=kp,
-            descriptors=np.zeros((len(uv), 128), np.uint8),
+            descriptors=(
+                descs[i] if descs is not None
+                else np.zeros((len(uv), 128), np.uint8)
+            ),
         ))
     IOF.write_features(os.path.join(out_dir, "ftr.bin"), feats,
                        with_descs=True)
+    if descriptors:
+        IOF.write_image_size(
+            os.path.join(out_dir, "size.bin"),
+            np.tile(np.asarray([[W, H]], np.int32), (n_frames, 1)),
+        )
     pairs = build_pairs(frames_obs, n_frames, scene, rng,
                         loop_centers=centers)
     IOF.write_frame_pairs(os.path.join(out_dir, "fp.bin"), pairs)
-    with open(os.path.join(out_dir, "camera.txt"), "w") as f:
-        f.write(f"0 PINHOLE {W} {H} {FX} {FX} {CX} {CY}\n")
+    if per_image_cameras:
+        noisy = focals * (1.0 + rng.uniform(-focal_noise, focal_noise,
+                                            n_frames))
+        with open(os.path.join(out_dir, "camera_info.txt"), "w") as f:
+            for i in range(n_frames):
+                f.write(f"{names[i]} SIMPLE_RADIAL {W} {H} "
+                        f"{noisy[i]:.3f} {CX} {CY} 0.0\n")
+        with open(os.path.join(out_dir, "gt_cameras.txt"), "w") as f:
+            for i in range(n_frames):
+                f.write(f"{names[i]} {focals[i]:.6f} {k1s[i]:.8f}\n")
+    else:
+        with open(os.path.join(out_dir, "camera.txt"), "w") as f:
+            f.write(f"0 PINHOLE {W} {H} {FX} {FX} {CX} {CY}\n")
     with open(os.path.join(out_dir, "gt_poses.txt"), "w") as f:
         for i in range(n_frames):
             q = G.rotmat_to_quat_np(R[i])
@@ -262,5 +357,13 @@ if __name__ == "__main__":
     ap.add_argument("--scene", default="kitti", choices=["kitti", "unordered"])
     ap.add_argument("--n_frames", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--per_image_cameras", action="store_true",
+                    help="1DSfM regime: per-image SIMPLE_RADIAL + "
+                         "noisy-focal camera_info.txt")
+    ap.add_argument("--focal_noise", type=float, default=0.08)
+    ap.add_argument("--descriptors", action="store_true",
+                    help="synthesize matchable descriptors + size.bin")
     a = ap.parse_args()
-    main(a.out_dir, a.scene, a.n_frames, a.seed)
+    main(a.out_dir, a.scene, a.n_frames, a.seed,
+         per_image_cameras=a.per_image_cameras,
+         focal_noise=a.focal_noise, descriptors=a.descriptors)

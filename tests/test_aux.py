@@ -177,3 +177,44 @@ def test_write_trajectory_inverts_tcw(tmp_path):
         if expect_q[0] * q_file[0] < 0:
             expect_q = -expect_q
         np.testing.assert_allclose(q_file, expect_q, atol=1e-9)
+
+
+def test_pointcloud_colorizer(tmp_path):
+    """Reference: scripts/pointcloud_color_calculator.py:8-45 — average
+    the image pixels under each track's observations into points3D rgb."""
+    cv2 = pytest.importorskip("cv2")
+    import os
+    import sys
+
+    from xrsfm_tpu.utils import io_colmap as IOC
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from pointcloud_color import add_color
+    finally:
+        sys.path.pop(0)
+
+    imgd = tmp_path / "images"
+    imgd.mkdir()
+    img = np.zeros((100, 100, 3), np.uint8)
+    img[:, :, 2] = 200  # BGR -> red 200
+    img[10, 20] = (10, 30, 250)
+    cv2.imwrite(str(imgd / "a.png"), img)
+    model = tmp_path / "model"
+    model.mkdir()
+    ims = {1: IOC.ColmapImage(
+        1, np.array([1.0, 0, 0, 0]), np.zeros(3), 0, "a.png",
+        np.array([[20.0, 10.0], [50.0, 50.0]]), np.array([7, 9], np.int64))}
+    pts = {
+        7: IOC.ColmapPoint3D(7, np.zeros(3), np.zeros(3, np.uint8), 0.1,
+                             np.array([1], np.int32), np.array([0], np.int32)),
+        9: IOC.ColmapPoint3D(9, np.ones(3), np.zeros(3, np.uint8), 0.1,
+                             np.array([1], np.int32), np.array([1], np.int32)),
+    }
+    IOC.write_images_bin(str(model / "images.bin"), ims)
+    IOC.write_points3d_bin(str(model / "points3D.bin"), pts)
+    assert add_color(str(imgd), str(model)) == 2
+    out = IOC.read_points3d_bin(str(model / "points3D.bin"))
+    assert out[7].rgb[0] == 250 and out[7].rgb[1] == 30
+    assert out[9].rgb[0] == 200 and out[9].rgb[2] == 0

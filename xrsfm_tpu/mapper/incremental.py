@@ -100,6 +100,7 @@ class IncrementalMapper:
         self.opts = opts
         self.stats = MapperStats()
         self._rejections = {}
+        self._intri_gba_warm = False
 
     def _log(self, msg: str):
         if self.opts.verbose:
@@ -158,18 +159,9 @@ class IncrementalMapper:
             if len(batch) == 0:
                 break
             t0 = time.time()
-            if len(batch) == 1:
-                nxt0 = int(batch[0])
-                results = {
-                    nxt0: register.register_frame(
-                        m, nxt0, reg_opts,
-                        seed_salt=self._rejections.get(nxt0, 0),
-                    )
-                }
-            else:
-                results = register.register_frames_batch(
-                    m, batch, reg_opts, seed_salts=self._rejections
-                )
+            results = register.register_frames_batch(
+                m, batch, reg_opts, seed_salts=self._rejections
+            )
             self.stats.time_register += time.time() - t0
 
             accepted = []
@@ -348,6 +340,23 @@ class IncrementalMapper:
                 t0 = time.time()
                 from . import keyframe as KF
 
+                if o.refine_intrinsics and not self._intri_gba_warm:
+                    # Graduated non-convexity for the FIRST intrinsics
+                    # GBA: with EXIF-grade focal errors most residuals sit
+                    # beyond the Huber knee, IRLS crushes the gradient and
+                    # LM stalls in a high-cost plateau (measured on the
+                    # 80-frame plaza: 30 iters at huber 4 leave cost at
+                    # 245k vs 6.4k when the first solve runs effectively
+                    # unrobust).  One wide-knee pass precedes the normal
+                    # robust solve; contamination is still bounded by the
+                    # knee, just at a coarser scale.
+                    self._intri_gba_warm = True
+                    KF.kgba(
+                        m,
+                        BAOptions(max_iters=o.gba_iters, huber_px=32.0),
+                        tri_opts=None,
+                        optimize_intrinsics=True,
+                    )
                 gres = KF.kgba(
                     m,
                     BAOptions(max_iters=o.gba_iters, huber_px=4.0),
@@ -361,6 +370,12 @@ class IncrementalMapper:
                         f"KGBA over {n_reg} frames: cost "
                         f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
                     )
+                if o.refine_intrinsics:
+                    # refined cameras + structure invalidate earlier
+                    # registration failures (they were judged under the
+                    # old intrinsics) — same rationale as the loop-
+                    # correction amnesty
+                    self._post_correction_amnesty(m)
 
             if (o.snapshot_every and o.snapshot_path and accepted
                     and self.stats.registered % o.snapshot_every
@@ -412,6 +427,25 @@ class IncrementalMapper:
                 max_iters=2 * self.opts.gba_iters, huber_px=4.0,
                 precise=hard,
             )
+            if o.refine_intrinsics:
+                # wide-knee first pass (see the first-KGBA graduated
+                # schedule above) so late-registered cameras' intrinsics
+                # can still reach the global basin, then robust rounds —
+                # each run_ba restarts lam, which escapes the high-lambda
+                # plateaus the slow focal/k1 directions park LM on
+                # (measured: 3 restarts 4.2% -> 1.9% median focal error
+                # where one long solve stalls at ~4%)
+                ba_glue.run_ba(
+                    m, reg_frames,
+                    BAOptions(max_iters=o.gba_iters, huber_px=32.0),
+                    optimize_intrinsics=True,
+                )
+                for _r in range(2):
+                    ba_glue.run_ba(
+                        m, reg_frames,
+                        BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+                        optimize_intrinsics=True,
+                    )
             for _round in range(2 if hard else 1):
                 pres = ba_glue.run_ba(m, reg_frames, polish,
                                       optimize_intrinsics=o.refine_intrinsics)

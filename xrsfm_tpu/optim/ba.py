@@ -193,7 +193,8 @@ def _bucket_quarter(n: int, lo: int = 8) -> int:
     return b
 
 
-def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
+def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8,
+                      cam_width: int = 256, pt_width: int = 32):
     """Reorder + physically pad the observation table camera-major.
 
     Returns (packed problem, EllIndex) where the camera-side rows are
@@ -214,7 +215,7 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
     # other_ids must span the FULL table: _build_rows pads slots with
     # index O_full, which its `other` lookup resolves via an appended row
     cam_rows = _build_rows(
-        oc[:n].astype(np.int64), op, C, O_full, 256, bucket_lo
+        oc[:n].astype(np.int64), op, C, O_full, cam_width, bucket_lo
     )
     slots = np.asarray(cam_rows.slots)  # [Rc, Mc], == O_full for padding
     seg = np.asarray(cam_rows.seg)
@@ -249,8 +250,8 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8):
     real_idx = np.nonzero(real)[0].astype(np.int64)
     nr = len(real_idx)
     compact = _build_rows(
-        new_pt[real_idx].astype(np.int64), new_cam[real_idx], P, nr, 32,
-        bucket_lo,
+        new_pt[real_idx].astype(np.int64), new_cam[real_idx], P, nr,
+        pt_width, bucket_lo,
     )
     cslots = np.asarray(compact.slots)
     if nr:
@@ -1031,6 +1032,19 @@ def _schur_solve(p: BAProblem, U, V, W, bc, bp, lam, cg_iters, cg_tol):
     return dx_c, dx_p
 
 
+def _select_accept(accept, p: BAProblem, cand: BAProblem) -> BAProblem:
+    """where(accept, cand, p) over ONLY the parameter leaves (_apply_step
+    mutates cam_q/cam_t/points and possibly cam_intri)."""
+    sel = lambda a, b: jnp.where(accept, b, a)  # noqa: E731
+    return dataclasses.replace(
+        p,
+        cam_q=sel(p.cam_q, cand.cam_q),
+        cam_t=sel(p.cam_t, cand.cam_t),
+        cam_intri=sel(p.cam_intri, cand.cam_intri),
+        points=sel(p.points, cand.points),
+    )
+
+
 def _apply_step(p: BAProblem, dx_c, dx_p) -> BAProblem:
     dpose = dx_c[:, :6]
     dpose = dpose * (~p.fix_cam)[:, None]
@@ -1128,9 +1142,10 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
         cand = _apply_step(prob, dx_c, dx_p)
         new_cost = cost_of(cand)
         accept = new_cost < cost
-        prob = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, b, a), prob, cand
-        )
+        # select only the leaves _apply_step mutates — a whole-tree
+        # where() would stream the (much larger) observation table
+        # through HBM every iteration for nothing
+        prob = _select_accept(accept, prob, cand)
         cost2 = jnp.where(accept, new_cost, cost)
         lam2 = jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up)
         lam2 = jnp.clip(lam2, 1e-10, opts.lam_max)

@@ -22,11 +22,28 @@ def main(bin_dir: str, camera_info_path: str, output_dir: str):
         bin_dir, camera_per_image=cams, name2cid=name2cid
     )
     opts = MapperOptions()
-    # reference: tighter GBA threshold (4px) for internet scenes
-    opts.tri.filter_px = 4.0
+    # reference: th_rpe_gba = 4px for internet scenes (rec_1dsfm.cc:88) —
+    # that is the GBA-time threshold, which here is the final-polish gate
+    # (polish_px, default 4).  The GROWTH-time filter keeps the default
+    # 16px: until the per-image intrinsics are refined, genuine tracks
+    # reproject several px off, and filtering them at 4px starves the
+    # registration frontier (measured: 43/80 plaza frames, unregistered
+    # rest had ZERO map correspondences left).
+    opts.tri.polish_px = 4.0
     # per-image EXIF focals are noisy and distortion starts at 0
     # (reference rec_1dsfm.cc:46-55); GBA refines camera_param
     opts.refine_intrinsics = True
+    # global rotation averaging polish: sound on short-graph-diameter
+    # unordered scenes (optim/rot_avg.py — the per-edge measurement bias
+    # that disqualifies it on sequential chains cannot accumulate here)
+    opts.rot_avg_polish = True
+    # EXIF-grade focals: registration solves PnP over a focal-scale grid
+    # in one batched dispatch and writes the winner back (register.py)
+    import dataclasses
+
+    opts.reg = dataclasses.replace(
+        opts.reg, focal_scales=(0.85, 0.925, 1.0, 1.08, 1.16)
+    )
     mapper = IncrementalMapper(opts)
     ok = mapper.reconstruct(m)
     if not ok:
