@@ -100,7 +100,9 @@ def main():
     def res_step(p, lam, tick):
         import dataclasses
 
-        p2 = dataclasses.replace(p, points=p.points + tick * 1e-12)
+        p2 = dataclasses.replace(
+            p, points=p.points + tick * 1e-12, cam_t=p.cam_t + tick * 1e-12,
+        )
         r, z = ba_mod._residuals_only_rows(p2, ell)
         c, _ = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
         return p, lam, c
@@ -109,7 +111,9 @@ def main():
     def jn_step(p, lam, tick):
         import dataclasses
 
-        p2 = dataclasses.replace(p, points=p.points + tick * 1e-12)
+        p2 = dataclasses.replace(
+            p, points=p.points + tick * 1e-12, cam_t=p.cam_t + tick * 1e-12,
+        )
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
         c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(p2, ell, r, Jc, Jp, w)
@@ -121,7 +125,10 @@ def main():
         def step(p, lam, tick):
             import dataclasses
 
-            p2 = dataclasses.replace(p, points=p.points + tick * 1e-12)
+            p2 = dataclasses.replace(
+                p, points=p.points + tick * 1e-12,
+                cam_t=p.cam_t + tick * 1e-12,
+            )
             r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
             c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
             U, V, bc, bp = ba_mod._build_normal_blocks_ell(

@@ -96,3 +96,41 @@ def test_distributed_ba_is_deterministic():
             {"q": p_dist.cam_q, "t": p_dist.cam_t, "x": p_dist.points}
         ))
     assert sums[0] == sums[1]
+
+
+def test_production_reconstruction_on_mesh_matches_single_device():
+    """One command reconstructs on an 8-device mesh: the incremental
+    pipeline with MapperOptions.n_devices=8 routes GBA/KGBA through
+    parallel/dist_ba (pose-only solves) and must produce the same
+    registered set and near-identical geometry as single-device."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic import make_scene
+    from test_incremental import build_map_from_scene
+
+    from xrsfm_tpu.mapper import IncrementalMapper, MapperOptions
+    from xrsfm_tpu.utils import geometry as G
+    from xrsfm_tpu.ops.umeyama import ate_rmse
+
+    results = {}
+    for n_dev in (1, 8):
+        s = make_scene(n_cams=6, n_pts=150, seed=20, noise=0.0)
+        m = build_map_from_scene(s)
+        mapper = IncrementalMapper(
+            MapperOptions(verbose=False, n_devices=n_dev)
+        )
+        assert mapper.reconstruct(m)
+        results[n_dev] = (
+            np.asarray(m.registered).copy(),
+            np.asarray(m.q).copy(),
+            np.asarray(m.t).copy(),
+        )
+    reg1, q1, t1 = results[1]
+    reg8, q8, t8 = results[8]
+    assert np.array_equal(reg1, reg8)
+    c1 = G.pose_center_np(q1[reg1], t1[reg1])
+    c8 = G.pose_center_np(q8[reg8], t8[reg8])
+    # same geometry up to solver round-off (different reduction orders)
+    assert ate_rmse(c1, c8) < 1e-3

@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("matching_type", nargs="?",
                    choices=["sequential", "retrieval", "covisibility"])
     p.add_argument("output_dir", nargs="?")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard descriptor matching over this many devices")
 
     p = add("retrieve", "build retrieval.txt from images (VLAD; new "
                         "capability — the reference needs an external tool)")
@@ -63,6 +65,9 @@ def main(argv=None):
                         "<output_dir>/snapshot.npz every N registrations")
     p.add_argument("--resume", action="store_true",
                    help="resume from <output_dir>/snapshot.npz if present")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard global BA over this many devices "
+                        "(parallel/dist_ba; 1 = single-device)")
 
     p = add("run_triangulation", "triangulate with known poses")
     p.add_argument("bin_dir", nargs="?")
@@ -113,7 +118,7 @@ def _dispatch(args):
         from .pipelines import run_matching as M
 
         M.main(args.images_dir, args.retrieval_path, args.matching_type,
-               args.output_dir)
+               args.output_dir, n_devices=args.n_devices)
     elif args.cmd == "retrieve":
         from .pipelines import retrieve as RV
 
@@ -124,7 +129,8 @@ def _dispatch(args):
         R.main(args.bin_dir, args.camera_txt, args.output_dir,
                args.init_id1, args.init_id2,
                correct_pose=args.correct_pose,
-               snapshot_every=args.snapshot_every, resume=args.resume)
+               snapshot_every=args.snapshot_every, resume=args.resume,
+               n_devices=args.n_devices)
     elif args.cmd == "run_triangulation":
         from .pipelines import run_triangulation as T
 

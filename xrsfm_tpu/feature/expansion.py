@@ -234,6 +234,7 @@ def covisibility_matching(
     num_iterations: int = _NUM_ITERATIONS,
     init_topk: int = 5,
     verbose: bool = True,
+    mesh=None,
 ) -> List[FramePairData]:
     """Full EC-SfM covisibility matching
     (reference: run_matching.cc "covisibility" branch + ExpansionAndMatching)."""
@@ -243,7 +244,7 @@ def covisibility_matching(
     else:
         seed_pairs = fmatch.retrieval_pairs(id2rank, init_topk)
         verified = fmatch.match_and_verify_pairs(
-            features, seed_pairs, opts, verbose=verbose
+            features, seed_pairs, opts, verbose=verbose, mesh=mesh
         )
         if init_pairs_path:
             write_frame_pairs(init_pairs_path, verified)
@@ -275,7 +276,7 @@ def covisibility_matching(
         if not cands:
             break
         new_pairs = fmatch.match_and_verify_pairs(
-            features, cands, opts, verbose=verbose
+            features, cands, opts, verbose=verbose, mesh=mesh
         )
         matched.update(cands)
         for p in new_pairs:

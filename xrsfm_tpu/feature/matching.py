@@ -117,10 +117,32 @@ def match_and_verify_pairs(
     pair_ids: Sequence[Tuple[int, int]],
     opts: MatchingOptions = MatchingOptions(),
     verbose: bool = True,
+    mesh=None,
 ) -> List[FramePairData]:
     """Full matching stage over candidate pairs.  Returns verified pairs
-    with inlier masks (pairs failing the inlier rule are dropped)."""
+    with inlier masks (pairs failing the inlier rule are dropped).
+
+    mesh (jax.sharding.Mesh, optional): shard each chunk's pair batch
+    over the mesh's first axis — descriptor matching and verification
+    are embarrassingly pair-parallel, so B pairs run in B/n_dev time
+    (parallel/dist_matching design; the reference runs pairs serially
+    through one SiftMatchGPU, feature_processing.cc:222-308)."""
     out: List[FramePairData] = []
+    n_dev = 1
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if n_dev > 1:
+            shard = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names)[0])
+            )
+
+    def put(a):
+        return jax.device_put(jnp.asarray(a), shard) if shard is not None \
+            else a
+
     # device-resident descriptor pool, padded per frame to a shared bucket
     kmax = max((len(f.keypoints) for f in features), default=0)
     K = bucket(kmax, lo=256)
@@ -141,14 +163,14 @@ def match_and_verify_pairs(
     # dispatch + int(cnt) syncs dominated wall-clock before)
     cand = []  # (i, j, matches [M,2], dists [M])
     mm = min(K, 4096)
-    B = 16
+    B = 16 * n_dev
     for s in range(0, len(pair_ids), B):
         grp = list(pair_ids[s : s + B])
         pad = B - len(grp)
         idx = np.asarray(grp + [grp[-1]] * pad, np.int32)  # keep B static
         m_np, c_np, d_np = jax.device_get(dmatch.match_descriptors_batch(
-            descs_d[idx[:, 0]], descs_d[idx[:, 1]],
-            masks_d[idx[:, 0]], masks_d[idx[:, 1]],
+            put(descs_d[idx[:, 0]]), put(descs_d[idx[:, 1]]),
+            put(masks_d[idx[:, 0]]), put(masks_d[idx[:, 1]]),
             opts.dist_th, opts.ratio_th, mm,
         ))
         for k, (i, j) in enumerate(grp):
@@ -170,7 +192,7 @@ def match_and_verify_pairs(
     for k, (i, j, mnp, d) in enumerate(cand):
         by_bucket.setdefault(bucket(len(mnp)), []).append(k)
     th = jnp.asarray(opts.f_ransac_px**2, jnp.float32)
-    CHUNK = 16
+    CHUNK = 16 * n_dev
     for b, idxs in sorted(by_bucket.items()):
         for s in range(0, len(idxs), CHUNK):
             grp = idxs[s : s + CHUNK]
@@ -191,7 +213,9 @@ def match_and_verify_pairs(
             # numpy args + one batched fetch (each eager transfer is a
             # tunnel round-trip)
             F_b, inl_b, n_inl_b, ok_b = jax.device_get(
-                _fundamental_ransac_batch(keys, x1, x2, vm, th)
+                _fundamental_ransac_batch(
+                    put(keys), put(x1), put(x2), put(vm), th
+                )
             )
             for g, k in enumerate(grp):
                 i, j, mnp, d = cand[k]

@@ -184,12 +184,18 @@ def run_ba(
     obs_frames: Optional[Sequence[int]] = None,
     optimize_intrinsics: bool = False,
     freeze_tracks: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Optional[BAGlueResult]:
     """Build, solve, write back.
 
     optimize_intrinsics frees the camera intrinsics (reference: GBA
     frees camera_param, ba_solver.cc:330-356; LBA pins it :389) and
-    writes refined params back into the map, refreshing kps_norm."""
+    writes refined params back into the map, refreshing kps_norm.
+
+    mesh (jax.sharding.Mesh over >1 devices): route the solve through
+    the sharded observation-parallel LM (parallel/dist_ba) — the
+    production scale-out path.  Intrinsics-refining solves stay on the
+    single-device solver (the distributed step is pose-only)."""
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
     prob, frames, tracks, ell = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
@@ -199,7 +205,24 @@ def run_ba(
         return None
     if optimize_intrinsics:
         opts = dataclasses.replace(opts, optimize_intrinsics=True)
-    sol, info = solve_ba(prob, opts, ell)
+    n_mesh_dev = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    if n_mesh_dev > 1 and not optimize_intrinsics:
+        from ..parallel import dist_ba
+
+        stats: dict = {}
+        sol, _ = dist_ba.solve_distributed(
+            mesh, prob, max_iters=opts.max_iters, huber_px=opts.huber_px,
+            stats=stats,
+        )
+        info = dict(
+            initial_cost=stats.get("initial_cost", 0.0),
+            final_cost=stats.get("final_cost", 0.0),
+            iters=stats.get("iters", opts.max_iters),
+        )
+    else:
+        sol, info = solve_ba(prob, opts, ell)
     nf, nt = len(frames), len(tracks)
     # one batched device fetch (each separate fetch is a tunnel round-trip)
     import jax

@@ -64,6 +64,10 @@ class MapperOptions:
     # dispatch per outer iteration (SURVEY §7.3; the reference registers
     # one frame at a time — MaxPoint3dFrameId).  1 = sequential.
     batch_registration: int = 8
+    # scale-out: shard GBA/KGBA over this many devices (jax.devices();
+    # 1 = single-device).  Pose-only global solves route through
+    # parallel/dist_ba; LBA and intrinsics-refining solves stay local.
+    n_devices: int = 1
     init_id1: int = -1
     init_id2: int = -1
     verbose: bool = True
@@ -101,10 +105,33 @@ class IncrementalMapper:
         self.stats = MapperStats()
         self._rejections = {}
         self._intri_gba_warm = False
+        self._mesh_cached = None
 
     def _log(self, msg: str):
         if self.opts.verbose:
             print(f"[mapper] {msg}", flush=True)
+
+    def _mesh(self):
+        """Build (once) the scale-out mesh for global solves."""
+        if self.opts.n_devices <= 1:
+            return None
+        if self.__dict__.get("_mesh_cached") is None:
+            import jax
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < self.opts.n_devices:
+                self._log(
+                    f"n_devices={self.opts.n_devices} requested but only "
+                    f"{len(devs)} devices visible — running single-device"
+                )
+                self._mesh_cached = False
+            else:
+                self._mesh_cached = Mesh(
+                    np.array(devs[: self.opts.n_devices]),
+                    axis_names=("obs",),
+                )
+        return self._mesh_cached or None
 
     def reconstruct(self, m: SfMMap) -> bool:
         o = self.opts
@@ -362,6 +389,7 @@ class IncrementalMapper:
                     BAOptions(max_iters=o.gba_iters, huber_px=4.0),
                     tri_opts=o.tri,
                     optimize_intrinsics=o.refine_intrinsics,
+                    mesh=self._mesh(),
                 )
                 self.stats.time_gba += time.time() - t0
                 num_reg_at_gba = n_reg
@@ -448,7 +476,8 @@ class IncrementalMapper:
                     )
             for _round in range(2 if hard else 1):
                 pres = ba_glue.run_ba(m, reg_frames, polish,
-                                      optimize_intrinsics=o.refine_intrinsics)
+                                      optimize_intrinsics=o.refine_intrinsics,
+                                      mesh=self._mesh())
                 if pres is not None:
                     self._log(
                         f"polish GBA round {_round}: cost "

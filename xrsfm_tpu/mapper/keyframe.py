@@ -258,9 +258,11 @@ def kgba(
     opts: BAOptions = BAOptions(max_iters=20, huber_px=4.0),
     tri_opts: Optional[triangulate.TriOptions] = None,
     optimize_intrinsics: bool = False,
+    mesh=None,
 ):
     """Keyframe global BA + non-keyframe propagation
-    (reference: BASolver::KGBA, ba_solver.cc:640-678)."""
+    (reference: BASolver::KGBA, ba_solver.cc:640-678).  `mesh` routes
+    the pose-only solve through the sharded LM (parallel/dist_ba)."""
     _ensure_fields(m)
     keyframe_selection(m)
     keyframes = [
@@ -269,7 +271,8 @@ def kgba(
     if len(keyframes) < 2:
         return None
     res = ba_glue.run_ba(m, keyframes, opts, obs_frames=keyframes,
-                         optimize_intrinsics=optimize_intrinsics)
+                         optimize_intrinsics=optimize_intrinsics,
+                         mesh=mesh)
     update_by_ref_frame(m)
     # motion-only re-fit of the propagated non-keyframes against the
     # KGBA structure (see motion_only_refine docstring)

@@ -507,16 +507,21 @@ def _residuals_and_jacobians_rows(p: BAProblem, ell: EllIndex,
     Jd = Cam.distort_jacobian(intri[:, None, :], proj)  # [Rc,Mc,2,2]
     A = f2[..., :, None] * Jd
     inv_z = 1.0 / zs
-    Jproj = jnp.zeros(pc.shape[:-1] + (2, 3), pc.dtype)
-    Jproj = Jproj.at[..., 0, 0].set(inv_z)
-    Jproj = Jproj.at[..., 1, 1].set(inv_z)
-    Jproj = Jproj.at[..., 0, 2].set(-pc[..., 0] * inv_z * inv_z)
-    Jproj = Jproj.at[..., 1, 2].set(-pc[..., 1] * inv_z * inv_z)
-    B = jnp.einsum("...ij,...jk->...ik", A, Jproj)  # [Rc,Mc,2,3]
-    Rsk = jnp.einsum("rij,rmjk->rmik", R, G.skew(xyz))  # [Rc,Mc,3,3]
-    Jw = jnp.einsum("...ij,...jk->...ik", B, -Rsk)
-    Jc = jnp.concatenate([Jw, B], axis=-1)  # [Rc,Mc,2,6]
+    # B = A @ Jproj with the projection Jacobian's sparsity folded in
+    # (no [.,.,2,3] Jproj materialization): col j<2 = A[...,j]/z,
+    # col 2 = -(A.,0 x + A.,1 y)/z^2
+    B01 = A * inv_z[..., None, None]  # [Rc,Mc,2,2]
+    B2 = -(
+        A[..., 0] * pc[..., None, 0] + A[..., 1] * pc[..., None, 1]
+    ) * (inv_z * inv_z)[..., None]  # [Rc,Mc,2]
+    B = jnp.concatenate([B01, B2[..., None]], axis=-1)  # [Rc,Mc,2,3]
     Jp = jnp.einsum("rmij,rjk->rmik", B, R)  # [Rc,Mc,2,3]
+    # Jw = B·(−R·skew(x)) = −(B·R)·skew(x) = −Jp·skew(x); a row vector
+    # through skew(x) is a cross product (vᵀskew(x) = (v×x)ᵀ), so the
+    # [Rc,Mc,3,3] R·skew(x) intermediate of the naive chain (24 MB at
+    # bench size — the solver is HBM-streaming-bound) never exists
+    Jw = -jnp.cross(Jp, xyz[:, :, None, :])
+    Jc = jnp.concatenate([Jw, B], axis=-1)  # [Rc,Mc,2,6]
     if not with_intri:
         return r, z, Jc, Jp
     tie = (

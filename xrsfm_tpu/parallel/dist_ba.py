@@ -187,10 +187,15 @@ def solve_distributed(
     lam0: float = 1e-4,
     huber_px: float = 4.0,
     axis="obs",
+    stats: dict | None = None,
 ):
     """Host-looped distributed LM solve (each iteration is one jitted
     distributed step).  `axis` may name one mesh axis or a tuple such as
-    ("dcn", "ici") for a pod mesh (parallel/mesh.make_pod_mesh)."""
+    ("dcn", "ici") for a pod mesh (parallel/mesh.make_pod_mesh).
+
+    When `stats` is a dict it receives initial_cost/final_cost/iters
+    (the production run_ba path reports them like the single-chip
+    solver's info)."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     w_np = np.asarray(prob.obs_w)
@@ -220,6 +225,11 @@ def solve_distributed(
     step = make_distributed_lm_step(mesh, axis=axes)
     lam = jnp.asarray(lam0, jnp.float32)
     cost = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         prob, lam, cost, accepted = step(prob, ell_st, lam, jnp.float32(huber_px))
+        if it == 0 and stats is not None:
+            stats["initial_cost"] = float(cost)
+    if stats is not None:
+        stats["final_cost"] = float(cost)
+        stats["iters"] = max_iters
     return prob, float(cost)

@@ -96,8 +96,20 @@ def main(
     matching_type: str,
     output_dir: str,
     opts: Optional[fmatch.MatchingOptions] = None,
+    n_devices: int = 1,
 ):
     opts = opts or fmatch.MatchingOptions()
+    mesh = None
+    if n_devices > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) >= n_devices:
+            mesh = Mesh(np.array(devs[:n_devices]), axis_names=("pairs",))
+        else:
+            print(f"[matching] n_devices={n_devices} requested, only "
+                  f"{len(devs)} visible — single-device", flush=True)
     os.makedirs(output_dir, exist_ok=True)
     image_names = IOF.load_image_names(images_dir)
     name_to_id = {n: i for i, n in enumerate(image_names)}
@@ -139,16 +151,17 @@ def main(
                 if abs(i - j) >= opts.seq_window:
                     pairs.append((min(i, j), max(i, j)))
         pairs = sorted(set(pairs))
-        verified = fmatch.match_and_verify_pairs(feats, pairs, opts)
+        verified = fmatch.match_and_verify_pairs(feats, pairs, opts, mesh=mesh)
     elif matching_type == "retrieval":
         pairs = fmatch.retrieval_pairs(id2rank, opts.retrieval_topk)
-        verified = fmatch.match_and_verify_pairs(feats, pairs, opts)
+        verified = fmatch.match_and_verify_pairs(feats, pairs, opts, mesh=mesh)
     elif matching_type == "covisibility":
         from ..feature.expansion import covisibility_matching
 
         verified = covisibility_matching(
             feats, id2rank, opts,
             init_pairs_path=os.path.join(output_dir, "fp_init.bin"),
+            mesh=mesh,
         )
     else:
         raise ValueError(f"unknown matching type {matching_type}")

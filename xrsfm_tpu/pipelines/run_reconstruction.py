@@ -66,6 +66,7 @@ def main(
     correct_pose: bool = False,
     snapshot_every: int = 0,
     resume: bool = False,
+    n_devices: int = 1,
 ):
     t0 = time.time()
     m = build_map(bin_dir, camera_txt)
@@ -73,6 +74,8 @@ def main(
     opts.init_id1 = init_id1
     opts.init_id2 = init_id2
     opts.correct_pose = opts.correct_pose or correct_pose
+    if n_devices > 1:
+        opts.n_devices = n_devices
     snap_path = os.path.join(output_dir, "snapshot.npz")
     if snapshot_every:
         opts.snapshot_every = snapshot_every
