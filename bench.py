@@ -201,6 +201,34 @@ def bench_matching(n_feats=4096, batch=16, reps=10, seed=0):
     return batch * reps / dt
 
 
+def bench_sift(size=(480, 640), reps=6, seed=0):
+    """SIFT extraction throughput (images/s) on the device — the
+    reference's core native component is SiftGPU (3rdparty/SiftGPU/
+    ProgramCU.cu); this measures its TPU replacement end-to-end
+    (host pad -> device pyramid/DoG/orient/describe -> host fetch)."""
+    from xrsfm_tpu.ops.sift import SiftExtractor, SiftOptions
+
+    rng = np.random.default_rng(seed)
+    # textured synthetic image (pure noise yields few stable keypoints;
+    # smoothed noise gives a realistic detection load)
+    img = rng.integers(0, 255, size=size).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25.0
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    sw = sliding_window_view(np.pad(img, 2, mode="edge"), (5, 5))
+    img = (sw * k).sum(axis=(2, 3)).astype(np.uint8)
+    ex = SiftExtractor(SiftOptions(
+        num_octaves=4, features_per_octave=1024, max_features=4096,
+        first_octave=0,
+    ))
+    kps, _ = ex.extract(img)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ex.extract(img)
+    dt = time.perf_counter() - t0
+    return reps / dt, len(kps)
+
+
 def measure_cpu_anchor(timeout_s=420):
     """Measured SAME-solver CPU throughput on this host's 2 vCPUs — the
     real denominator for vs_baseline (no published reference number
@@ -241,6 +269,7 @@ def run_benchmarks():
         n_cams=1024, n_pts=160000, obs_per_pt=7, iters=12
     )
     pairs_per_s = bench_matching()
+    sift_ips, sift_nkp = bench_sift()
     cpu_anchor = measure_cpu_anchor()
     if cpu_anchor and cpu_anchor > 0:
         vs_baseline = ba_iters_per_s / cpu_anchor
@@ -262,6 +291,8 @@ def run_benchmarks():
             "ba_large_num_obs": int(n_obs_l),
             "ba_large_final_cost": round(cost_l, 2),
             "match_pairs_per_s_4096feat": round(pairs_per_s, 2),
+            "sift_images_per_s_480p": round(sift_ips, 2),
+            "sift_keypoints_per_image": int(sift_nkp),
             "ba_num_obs": int(n_obs),
             "ba_final_cost": round(cost, 2),
             "cpu_anchor_iters_per_s": (

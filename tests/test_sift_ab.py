@@ -10,9 +10,10 @@ textured image under rotation / scale / translation warps:
   * verified matches — ratio+mutual descriptor matches consistent with
     the known warp (< 3 px).
 
-Acceptance: our extractor reaches >= 70% of cv2.SIFT on each metric
-(the two detectors fire on different extrema populations, so parity is
-per-metric, not per-keypoint).
+Acceptance: our extractor reaches >= 90% of cv2.SIFT on each metric
+(measured r3: repeatability 0.92-0.96 vs cv2 0.89-0.95; verified
+matches equal or HIGHER than cv2 on 4/5 warps — the two detectors fire
+on different extrema populations, so parity is per-metric).
 """
 
 import numpy as np
@@ -122,5 +123,5 @@ def test_sift_ab_vs_cv2():
         print(f"[sift-ab] {name}: repeat ours {rep_o:.2f} cv2 {rep_c:.2f}, "
               f"verified ours {vm_o} cv2 {vm_c}", flush=True)
     for name, rep_o, rep_c, vm_o, vm_c in rows:
-        assert rep_o >= 0.7 * rep_c - 0.05, (name, rep_o, rep_c)
-        assert vm_o >= 0.7 * vm_c - 5, (name, vm_o, vm_c)
+        assert rep_o >= 0.9 * rep_c - 0.02, (name, rep_o, rep_c)
+        assert vm_o >= 0.9 * vm_c - 3, (name, vm_o, vm_c)

@@ -218,3 +218,69 @@ def recover_pose_from_essential(E, x1, x2, mask):
     best = jnp.argmax(counts)
     q = G.rotmat_to_quat(Rs[best])
     return q, ts[best], counts[best], masks[best]
+
+
+def refine_essential_manifold(q0, t0, x1, x2, mask, th, iters: int = 10):
+    """IRLS Gauss-Newton refinement of a relative pose on the essential
+    manifold (5 dof: so(3) x unit-sphere tangent), minimizing truncated
+    Sampson distance.
+
+    The 5pt-RANSAC winner plus one algebraic 8pt LO refit stops well
+    short of the robust-cost minimum under forward motion: on the
+    kitti-class workspace the GROUND-TRUTH essential had lower truncated
+    Sampson cost than the measured one for 11/12 long-baseline pairs,
+    leaving a systematic ~0.5 deg/edge yaw bias (the rotation/lateral-
+    translation valley).  Iterating GN in the valley recovers the deeper
+    minimum.  No reference counterpart (the reference never refines E
+    beyond the 8pt refit, essential.cc:389-404).
+
+    q0 [4], t0 [3] (from recover_pose_from_essential), x1/x2 [N,2]
+    normalized coords, mask [N], th squared-Sampson inlier scale.
+    Returns (q, t) refined."""
+
+    def basis(t):
+        """Two unit vectors spanning t-perp."""
+        a = jnp.where(
+            jnp.abs(t[0]) < 0.7,
+            jnp.array([1.0, 0.0, 0.0], t.dtype),
+            jnp.array([0.0, 1.0, 0.0], t.dtype),
+        )
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+        return b1, b2
+
+    mk = mask.astype(x1.dtype)
+
+    def res_of(d, q, t):
+        q2 = G.quat_mul(G.so3_exp_quat(d[:3]), q)
+        b1, b2 = basis(t)
+        t2 = t + d[3] * b1 + d[4] * b2
+        t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-12)
+        E = essential_from_pose(q2, t2)
+        s = sampson_error(E, x1, x2)  # [N] squared sampson
+        return jnp.sqrt(s + 1e-16), q2, t2, s
+
+    def gn(carry, _):
+        q, t = carry
+        zero = jnp.zeros(5, x1.dtype)
+        r, _, _, s = res_of(zero, q, t)
+        # truncated-quadratic IRLS: inliers weight 1, outliers ~ th/s
+        w = mk * jnp.minimum(1.0, th / jnp.maximum(s, 1e-16))
+        J = jax.jacfwd(lambda d: res_of(d, q, t)[0])(zero)  # [N,5]
+        Jw = J * w[:, None]
+        H = Jw.T @ J + 1e-8 * jnp.eye(5, dtype=x1.dtype)
+        g = Jw.T @ r
+        d = -jnp.linalg.solve(H, g)
+        # reject steps outside the linearization's validity
+        d = jnp.where(jnp.linalg.norm(d[:3]) < 0.3, d, d * 0.0)
+        _, q2, t2, s2 = res_of(d, q, t)
+        c_old = jnp.sum(mk * jnp.minimum(s, th))
+        c_new = jnp.sum(mk * jnp.minimum(s2, th))
+        accept = c_new < c_old
+        q = jnp.where(accept, q2, q)
+        t = jnp.where(accept, t2, t)
+        return (q, t), None
+
+    (q, t), _ = jax.lax.scan(gn, (q0, t0), None, length=iters)
+    return q, t
