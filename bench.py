@@ -96,13 +96,15 @@ def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0,
     return prob, ell, len(obs_cam)
 
 
-def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
+def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0,
+             cg_iters=2, cam_width=256):
     import jax
     import jax.numpy as jnp
 
     from xrsfm_tpu.optim import ba as ba_mod
 
-    prob, ell, n_obs = make_ba_problem(n_cams, n_pts, obs_per_pt, seed)
+    prob, ell, n_obs = make_ba_problem(n_cams, n_pts, obs_per_pt, seed,
+                                       cam_width=cam_width)
 
     @jax.jit
     def lm_step(p, lam):
@@ -112,12 +114,13 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0):
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
         cost, w = ba_mod._robust_cost_and_weight(r, z, w_row, 4.0)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(p, ell, r, Jc, Jp, w)
-        # truncated inexact Newton: 4 PCG iterations on the reduced camera
-        # system reach the same 30-step final cost as 6, 12 or 50 on this
-        # problem (measured: 54536-54555 for cg in {3,4,6,8,12}; 6->4 is
-        # +8% iters/s); the LM outer loop absorbs the looser inner solves.
+        # truncated inexact Newton: 2 PCG iterations on the reduced camera
+        # system reach the same 30-step final cost as 3, 4, 6, 12 or 50
+        # on this problem (measured r3 on-chip: 54553/54553/54542 for cg
+        # in {2,3,4}; band 54536-54555 across r1-r3 configs); the LM
+        # outer loop absorbs the looser inner solves.
         dx_c, dx_p = ba_mod._schur_solve_ell(
-            p, ell, U, V, bc, bp, Jc, Jp, w, lam, 4, 1e-2
+            p, ell, U, V, bc, bp, Jc, Jp, w, lam, cg_iters, 1e-2
         )
         cand = ba_mod._apply_step(p, dx_c, dx_p)
         r2, z2 = ba_mod._residuals_only_rows(cand, ell)

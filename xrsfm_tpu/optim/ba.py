@@ -347,7 +347,9 @@ def _residuals_and_jacobians(p: BAProblem, with_intri: bool = False):
     # f32 materialization of Jc/Jp in HBM (measured 33.1 vs 30.4 LM
     # iters/s on the 140k-obs bench).  Don't "simplify" without timing.
     R = G.quat_to_rotmat(q)  # [O,3,3]
-    pc = jnp.einsum("oij,oj->oi", R, xyz) + t
+    # elementwise rotation application (an MXU einsum truncates the
+    # O(100) world coordinates to bf16 on TPU — see _row_project)
+    pc = jnp.sum(R * xyz[..., None, :], axis=-1) + t
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     proj = pc[..., :2] / zs[..., None]
@@ -447,7 +449,9 @@ def _residuals_only(p: BAProblem):
     intri = p.cam_intri[p.obs_cam]
     xyz = p.points[p.obs_pt]
     R = G.quat_to_rotmat(q)
-    pc = jnp.einsum("oij,oj->oi", R, xyz) + t
+    # elementwise rotation application (an MXU einsum truncates the
+    # O(100) world coordinates to bf16 on TPU — see _row_project)
+    pc = jnp.sum(R * xyz[..., None, :], axis=-1) + t
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     proj = pc[..., :2] / zs[..., None]
@@ -481,7 +485,14 @@ def _row_project(p: BAProblem, ell: EllIndex):
     xyz = p.points[ell.cam.other]  # [Rc,Mc,3]
     uv = p.obs_uv.reshape(Rc, Mc, 2)
     R = G.quat_to_rotmat(q)  # [Rc,3,3]
-    pc = jnp.einsum("rij,rmj->rmi", R, xyz) + t[:, None, :]
+    # rotation applied as broadcast multiply+reduce, NOT einsum: on TPU
+    # an einsum here lowers onto the MXU, which truncates f32 inputs to
+    # bf16 passes by default — world coordinates O(100) then carry ~0.5
+    # absolute error and the residuals (hence the LM accept test) are
+    # garbage.  Elementwise VPU ops stay true f32.  (CPU computes
+    # einsums exactly, which is why unit tests cannot catch this.)
+    pc = jnp.sum(R[:, None, :, :] * xyz[:, :, None, :], axis=-1) \
+        + t[:, None, :]
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     proj = pc[..., :2] / zs[..., None]
