@@ -950,27 +950,35 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     bnorm = jnp.sqrt(_dot(rhs, rhs)) + 1e-30
 
     def cg_cond(carry):
-        i, x, r_, z_, pk, rz = carry
+        i, x, ypx, r_, z_, pk, rz = carry
         return (i < cg_iters) & (jnp.sqrt(_dot(r_, r_)) > cg_tol * bnorm)
 
     def cg_body(carry):
-        i, x, r_, z_, pk, rz = carry
-        Ap = S_matvec(pk)
+        i, x, ypx, r_, z_, pk, rz = carry
+        # the matvec's inner point-side reduction IS ypt(pk); carrying
+        # ypt(x) = Σ alpha_k ypt(p_k) by linearity makes the
+        # back-substitution's reduction free (one fewer pass over the
+        # [O,D,3] Y table per LM step)
+        ypp = _ypt_reduce(pk)
+        Ap = _proj(jnp.einsum("cij,cj->ci", Ud, pk) - _ycam_reduce(ypp))
         denom = _dot(pk, Ap)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         x = x + alpha * pk
+        ypx = ypx + alpha * ypp
         r_new = r_ - alpha * Ap
         z_new = precond(r_new)
         rz_new = _dot(r_new, z_new)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-        return i + 1, x, r_new, z_new, z_new + beta * pk, rz_new
+        return i + 1, x, ypx, r_new, z_new, z_new + beta * pk, rz_new
 
-    _, dx_c, _, _, _, _ = jax.lax.while_loop(
-        cg_cond, cg_body, (0, x0, r0, z0, z0, rz0)
+    yp0 = jnp.zeros((P, 3), rhs.dtype)
+    _, dx_c, ydx, _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (0, x0, yp0, r0, z0, z0, rz0)
     )
 
-    # back-substitute: dp = Vinv bp − L (Σ_{o∈p} Y_oᵀ dx_{cam(o)})
-    ydx = _ypt_reduce(dx_c)  # [P,3]
+    # back-substitute: dp = Vinv bp − L (Σ_{o∈p} Y_oᵀ dx_{cam(o)});
+    # ydx accumulated inside the CG loop.  NOTE: exact only while pk is
+    # built from z/beta recurrences seeded at x0 = 0 (it is).
     dx_p = jnp.einsum("pij,pj->pi", Vinv, bp) - jnp.einsum(
         "pij,pj->pi", L, ydx
     )

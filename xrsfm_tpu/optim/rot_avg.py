@@ -20,15 +20,15 @@ solver is a single jitted program — fixed edge count, lax.fori_loop
 IRLS rounds, Jacobi-preconditioned CG on the 3N x 3N graph Laplacian
 via segment_sum matvecs.  No per-edge host work anywhere.
 
-Applicability (measured, 250-frame kitti-class circuit): 2-view
-rotation measurements retain a small systematic bias (~0.07 deg/edge
-even after RANSAC — contamination surviving the epipolar gate clusters
-near the epipole under forward motion).  On a LONG CHAIN that bias
-integrates to tens of degrees, worse than the incremental map's own
-drift — so the polish is off by default for sequential scenes
-(MapperOptions.rot_avg_polish).  On short-graph-diameter unordered
-scenes (1DSfM class) the bias cannot accumulate and the averaging is a
-sound global initializer/polish.
+Measurement quality (r3): the essential-manifold IRLS refinement
+(ops/epipolar.refine_essential_manifold) removed the estimator's
+systematic under-convergence in the forward-motion rotation/translation
+valley — per-edge rotation error is now 0.046 deg median on the
+kitti-class workspace (was 0.087 with a ~0.5 deg long-baseline bias),
+which makes the averaging sound on sequential chains too.  The full
+global polish (rotations + translation recovery) lives in
+optim/global_pose.py and is what MapperOptions.global_polish enables;
+rot_avg_polish remains as the rotation-only variant.
 """
 
 from __future__ import annotations
@@ -57,7 +57,8 @@ __all__ = [
 
 @jax.jit
 def _measure_batch(keys, uv1, uv2, mask, th):
-    """[P, M, 2] padded match tables -> (q_rel [P,4], support [P]).
+    """[P, M, 2] padded match tables -> (q_rel [P,4], t_rel [P,3],
+    support [P]).
 
     q_rel is the cheirality-checked rotation of a 5-point-RANSAC
     essential: x2 = R x1 + t (uv in normalized camera coordinates).
@@ -82,7 +83,7 @@ def _measure_batch(keys, uv1, uv2, mask, th):
         # RANSAC-E on 11/12 such pairs) — see refine_essential_manifold
         q, t = epipolar.refine_essential_manifold(q, t, u1, u2, mk, th_k)
         n_good = jnp.where(ok, n_good, 0)
-        return q, n_good.astype(jnp.float32)
+        return q, t, n_good.astype(jnp.float32)
 
     return jax.vmap(one)(keys, uv1, uv2, mask, th)
 
@@ -96,10 +97,12 @@ def measure_pair_rotations(
     """Measure R_ij (x_j = R x_i + t) for every verified pair between
     registered frames, from match coordinates alone.
 
-    Returns (ei [E], ej [E], q_meas [E,4], support [E]) numpy arrays —
-    support is the cheirality inlier count (edge weight basis).  Pairs
-    with fewer than min_inliers matches are skipped; matches beyond
-    max_pts are strided down (rotation needs no more)."""
+    Returns (ei [E], ej [E], q_meas [E,4], t_meas [E,3], support [E])
+    numpy arrays — t_meas is the unit relative translation (x_j = R x_i
+    + t convention; feeds translation averaging, optim/global_pose.py),
+    support the cheirality inlier count (edge weight basis).  Pairs with
+    fewer than min_inliers matches are skipped; matches beyond max_pts
+    are strided down."""
     from ..mapper import kernels as K
 
     ei: List[int] = []
@@ -118,7 +121,8 @@ def measure_pair_rotations(
         tables.append((m.kps_norm[id1][sel[:, 0]], m.kps_norm[id2][sel[:, 1]]))
     if not tables:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32),
-                np.zeros((0, 4), np.float32), np.zeros(0, np.float32))
+                np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32),
+                np.zeros(0, np.float32))
     P = len(tables)
     pb = K.bucket(P, lo=4)
     nb = K.bucket(max(len(a) for a, _ in tables), lo=64)
@@ -142,9 +146,10 @@ def measure_pair_rotations(
     keys = jax.vmap(jax.random.PRNGKey)(
         jnp.arange(pb) * 7919 + np.int32(len(tables))
     )
-    q, sup = jax.device_get(_measure_batch(keys, uv1, uv2, mask, th))
+    q, t, sup = jax.device_get(_measure_batch(keys, uv1, uv2, mask, th))
     return (np.asarray(ei, np.int32), np.asarray(ej, np.int32),
-            q[:P].astype(np.float32), sup[:P].astype(np.float32))
+            q[:P].astype(np.float32), t[:P].astype(np.float32),
+            sup[:P].astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +270,7 @@ def rotation_averaging_polish(
     max_med_residual_deg: float = 3.0,
     min_correction_deg: float = 0.05,
     log=None,
+    measurements=None,
 ) -> bool:
     """Re-estimate every registered frame's rotation by global rotation
     averaging over measured pairwise rotations; keep camera centers.
@@ -278,7 +284,9 @@ def rotation_averaging_polish(
     reg = np.nonzero(m.registered)[0]
     if len(reg) < 10:
         return False
-    ei, ej, q_meas, sup = measure_pair_rotations(m, min_inliers=min_inliers)
+    if measurements is None:
+        measurements = measure_pair_rotations(m, min_inliers=min_inliers)
+    ei, ej, q_meas, _t, sup = measurements
     if len(ei) == 0:
         return False
     # Gross-outlier pre-gate: drop edges whose measurement disagrees with

@@ -33,10 +33,9 @@ def main(bin_dir: str, camera_info_path: str, output_dir: str):
     # per-image EXIF focals are noisy and distortion starts at 0
     # (reference rec_1dsfm.cc:46-55); GBA refines camera_param
     opts.refine_intrinsics = True
-    # global rotation averaging polish: sound on short-graph-diameter
-    # unordered scenes (optim/rot_avg.py — the per-edge measurement bias
-    # that disqualifies it on sequential chains cannot accumulate here)
-    opts.rot_avg_polish = True
+    # full global pose polish (rotation averaging + translation
+    # recovery, optim/global_pose.py) — its natural regime
+    opts.global_polish = True
     # EXIF-grade focals: registration solves PnP over a focal-scale grid
     # in one batched dispatch and writes the winner back (register.py)
     import dataclasses

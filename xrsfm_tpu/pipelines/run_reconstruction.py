@@ -74,6 +74,9 @@ def main(
     opts.init_id1 = init_id1
     opts.init_id2 = init_id2
     opts.correct_pose = opts.correct_pose or correct_pose
+    # drift-prone sequential regime: couple the global pose polish to
+    # correct_pose (guarded internally by connectivity/residual gates)
+    opts.global_polish = opts.global_polish or opts.correct_pose
     if n_devices > 1:
         opts.n_devices = n_devices
     snap_path = os.path.join(output_dir, "snapshot.npz")
