@@ -35,15 +35,27 @@ def camera_for_sequence(seq: int):
 
 def main(bin_dir: str, seq_name: str, output_dir: str, timestamp_path: str = ""):
     t0 = time.time()
-    seq = int(seq_name)
-    params = camera_for_sequence(seq)
-    # write a camera.txt the generic path can consume
     os.makedirs(output_dir, exist_ok=True)
+    # escape hatch: a camera.txt already in the workspace overrides the
+    # built-in table (non-KITTI captures / recalibrated sequences reuse
+    # this driver unchanged; the generic run_reconstruction consumes the
+    # same format)
+    ws_cam = os.path.join(bin_dir, "camera.txt")
     cam_txt = os.path.join(output_dir, "camera.txt")
-    with open(cam_txt, "w") as f:
-        f.write(f"0 PINHOLE 1241 376 {params[0]} {params[1]} {params[2]} {params[3]}\n")
+    if os.path.exists(ws_cam):
+        cam_txt = ws_cam
+    else:
+        seq = int(seq_name)
+        params = camera_for_sequence(seq)
+        with open(cam_txt, "w") as f:
+            f.write(f"0 PINHOLE 1241 376 {params[0]} {params[1]} "
+                    f"{params[2]} {params[3]}\n")
     opts = MapperOptions()
     opts.correct_pose = True  # KITTI path enables drift correction
+    # sequential circuits are the drift-basin regime the global pose
+    # polish was built for (optim/global_pose.py; measured 2.3% -> 1.18%
+    # ATE on the 250-frame circuit)
+    opts.global_polish = True
     m = RR.build_map(bin_dir, cam_txt)
     mapper = IncrementalMapper(opts)
     ok = mapper.reconstruct(m)
