@@ -224,12 +224,17 @@ def bench_sift(size=(480, 640), reps=6, seed=0):
         num_octaves=4, features_per_octave=1024, max_features=4096,
         first_octave=0,
     ))
-    kps, _ = ex.extract(img)  # compile + warm
+    # production path: batched dispatch (pipelines/run_matching uses
+    # extract_batch; per-image dispatch pays a tunnel round-trip each)
+    B = 8
+    imgs = [img] * B
+    out = ex.extract_batch(imgs, batch=B)  # compile + warm
+    kps = out[0][0]
     t0 = time.perf_counter()
     for _ in range(reps):
-        ex.extract(img)
+        ex.extract_batch(imgs, batch=B)
     dt = time.perf_counter() - t0
-    return reps / dt, len(kps)
+    return B * reps / dt, len(kps)
 
 
 def measure_cpu_anchor(timeout_s=420):

@@ -59,3 +59,23 @@ def test_sift_translation_repeatability_and_matching():
     err = np.linalg.norm(delta - np.array([dx, dy]), axis=-1)
     inlier_frac = np.mean(err < 2.0)
     assert inlier_frac > 0.7, f"translation-consistent fraction {inlier_frac:.2f}"
+
+
+def test_extract_batch_matches_single():
+    """extract_batch must reproduce per-image extract exactly (same
+    jitted pipeline, batched dispatch)."""
+    from xrsfm_tpu.ops.sift import SiftExtractor, SiftOptions
+
+    img1, _ = make_texture(h=160, w=192, seed=5, n_blobs=80)
+    img2, _ = make_texture(h=160, w=192, seed=6, n_blobs=80)
+    ex = SiftExtractor(SiftOptions(
+        num_octaves=3, features_per_octave=256, max_features=512,
+        first_octave=0,
+    ))
+    k1, d1 = ex.extract(img1)
+    k2, d2 = ex.extract(img2)
+    out = ex.extract_batch([img1, img2])
+    np.testing.assert_allclose(out[0][0], k1, atol=1e-5)
+    np.testing.assert_allclose(out[1][0], k2, atol=1e-5)
+    assert np.array_equal(out[0][1], d1)
+    assert np.array_equal(out[1][1], d2)

@@ -163,360 +163,382 @@ class IncrementalMapper:
         self.stats.time_init = time.time() - t_start
 
         num_reg_at_gba = max(2, n_reg0)
-        stop = False
-        while not stop:
-            t0 = time.time()
-            reg_opts = o.reg
-            batch = m.ready_frames(
-                o.min_visible, max_batch=max(1, o.batch_registration)
-            )
-            if len(batch) == 0 and o.min_visible > o.min_visible_floor:
-                # Last resort: no frame meets min_visible, but a loop
-                # anchor may still be reachable through a single
-                # cross-junction pair (e.g. the far end of a circuit
-                # whose only link to the map is ~40 matches with one
-                # early frame — below the default gate).  Attempt the
-                # single best frame with relaxed thresholds; the
-                # epipolar-consistency check and the bounded retry
-                # counter gate bad poses (reference analogue: TryLocate
-                # registers loop frames from 12 correspondences,
-                # pnp.cc:133-168).
-                batch = m.ready_frames(o.min_visible_floor, max_batch=1)
-                if len(batch):
-                    reg_opts = dataclasses.replace(
-                        o.reg,
-                        min_correspondences=o.min_visible_floor,
-                    )
-            self.stats.time_select += time.time() - t0
-            if len(batch) == 0:
-                break
-            t0 = time.time()
-            results = register.register_frames_batch(
-                m, batch, reg_opts, seed_salts=self._rejections
-            )
-            self.stats.time_register += time.time() - t0
-
-            accepted = []
-            for nxt in (int(f) for f in batch):
-                ok, n_inl, n_cand = results[nxt]
-                if not ok:
-                    # Retry later rather than blacklisting on the first
-                    # failure: the reference revisits registration
-                    # candidates as the map matures (RegisterNextImage
-                    # keeps frames in the candidate pool), and a frontier
-                    # frame attempted with 1-2 registered neighbors often
-                    # succeeds once its successors add tracks.  A
-                    # permanently-dead frontier frame starves every frame
-                    # behind it (measured: one weak frame killed the last
-                    # 339 frames of a 1000-frame circuit).
-                    self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
-                    if self._rejections[nxt] >= 3:
-                        m.registered_fail[nxt] = True
-                        self.stats.failed += 1
-                    self._log(
-                        f"register frame {nxt} FAILED "
-                        f"({n_inl}/{n_cand} inliers, "
-                        f"attempt {self._rejections[nxt]})"
-                    )
-                    if o.stop_when_register_fail and m.registered_fail[nxt]:
-                        stop = True
-                        break
-                    continue
-                from . import error_correct as EC
-
+        # Growth + polish, with ONE resurrection round: after a global
+        # pose polish rewrites the map into a self-consistent geometry,
+        # frames that died at drift junctions (epipolar-inconsistent
+        # camps on a long circuit — measured on a 1000-frame circuit
+        # where both junctions failed and 513 frames starved behind
+        # them) register cleanly against the polished map.
+        for _growth_round in range(2):
+            num_reg_at_gba = max(2, n_reg0)
+            stop = False
+            while not stop:
                 t0 = time.time()
-                consistent = EC.registration_is_consistent(m, nxt)
-                self.stats.time_consistency += time.time() - t0
-                checked_correction = False
-                if not consistent and o.correct_pose:
-                    # An epipolar-inconsistent pose at a well-matched frame
-                    # is the loop-closure signature: the PnP pose (drifted
-                    # camp) disagrees with the other camp's epipolar
-                    # geometry.  The reference routes this into
-                    # CheckAndCorrectPose (error_corrector.cc:187-246)
-                    # rather than rejecting — dropping the frame would
-                    # leave the map a chain that no amount of BA can
-                    # de-drift.
-                    t0 = time.time()
-                    if EC.check_and_correct_pose(
-                        m, nxt, reg_opts=o.reg, tri_opts=o.tri
-                    ):
-                        self._log(f"frame {nxt}: loop error corrected")
-                        self.stats.corrections += 1
-                        consistent = True
-                        self._post_correction_amnesty(m)
-                    else:
-                        consistent = EC.registration_is_consistent(m, nxt)
-                    self.stats.time_check += time.time() - t0
-                    checked_correction = True
-                if not consistent:
-                    # planar-PnP ambiguity / bad registration: undo; retry
-                    # once later (more tracks may disambiguate), then fail
-                    m.deregister_frame(nxt)
-                    self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
-                    if self._rejections[nxt] >= 2:
-                        m.registered_fail[nxt] = True
-                        self.stats.failed += 1
-                    self._log(
-                        f"register frame {nxt} REJECTED (epipolar-"
-                        f"inconsistent pose, attempt {self._rejections[nxt]})"
-                    )
-                    if o.stop_when_register_fail and m.registered_fail[nxt]:
-                        stop = True
-                        break
-                    continue
-                self.stats.registered += 1
-
-                if o.correct_pose and not checked_correction:
-                    t0 = time.time()
-                    if EC.check_and_correct_pose(
-                        m, nxt, reg_opts=o.reg, tri_opts=o.tri
-                    ):
-                        self._log(f"frame {nxt}: loop error corrected")
-                        self.stats.corrections += 1
-                        self._post_correction_amnesty(m)
-                    self.stats.time_check += time.time() - t0
-
-                t0 = time.time()
-                n_new, n_ext = triangulate.triangulate_frame(m, nxt, o.tri)
-                self.stats.time_triangulate += time.time() - t0
-
-                t0 = time.time()
-                tri_ids = [
-                    int(t) for t in np.unique(m.track_of[nxt]) if t >= 0
-                ]
-                triangulate.filter_tracks(m, tri_ids, o.tri)
-                self.stats.time_filter += time.time() - t0
-
-                t0 = time.time()
-                n_merged = triangulate.merge_frame_tracks(m, nxt, o.tri)
-                self.stats.time_merge += time.time() - t0
-                accepted.append(nxt)
-                self._log(
-                    f"frame {nxt}: +{n_new} tracks, {n_ext} extended, "
-                    f"{n_merged} merged, {results[nxt][1]} pnp inliers"
+                reg_opts = o.reg
+                batch = m.ready_frames(
+                    o.min_visible, max_batch=max(1, o.batch_registration)
                 )
-                if (o.max_registrations
-                        and self.stats.registered >= o.max_registrations):
-                    stop = True
+                if len(batch) == 0 and o.min_visible > o.min_visible_floor:
+                    # Last resort: no frame meets min_visible, but a loop
+                    # anchor may still be reachable through a single
+                    # cross-junction pair (e.g. the far end of a circuit
+                    # whose only link to the map is ~40 matches with one
+                    # early frame — below the default gate).  Attempt the
+                    # single best frame with relaxed thresholds; the
+                    # epipolar-consistency check and the bounded retry
+                    # counter gate bad poses (reference analogue: TryLocate
+                    # registers loop frames from 12 correspondences,
+                    # pnp.cc:133-168).
+                    batch = m.ready_frames(o.min_visible_floor, max_batch=1)
+                    if len(batch):
+                        reg_opts = dataclasses.replace(
+                            o.reg,
+                            min_correspondences=o.min_visible_floor,
+                        )
+                self.stats.time_select += time.time() - t0
+                if len(batch) == 0:
                     break
-
-            if accepted:
-                # Refresh low-parallax tracks of the batch's frames with a
-                # full-baseline re-triangulation (ONE dispatch).  Points
-                # keep their creation-time depth until BA frees them, and
-                # a depth fitted from a short forward-motion window is
-                # biased ~0.1-0.2% short; registering the next frame
-                # against biased depths shrinks the step, which shrinks
-                # the next baseline — measured on a 1000-frame circuit,
-                # the compounding collapsed map scale to 1% of truth by
-                # frame 650 and starved registration.  Re-fitting from
-                # the spread of each track's observations removes the
-                # bias as soon as the baseline exists (reference:
-                # ReTriangulate, track_processor.cc:373-424, plus its
-                # angle-aware FindLocalBundle, ba_solver.cc:393-493).
                 t0 = time.time()
-                fresh = set()
-                nt = m.num_tracks
-                for nxt in accepted:
-                    t_ids = m.track_of[nxt]
-                    t_ids = t_ids[t_ids >= 0]
-                    low = t_ids[
-                        m.track_angle[t_ids] < np.deg2rad(10.0)
+                results = register.register_frames_batch(
+                    m, batch, reg_opts, seed_salts=self._rejections
+                )
+                self.stats.time_register += time.time() - t0
+
+                accepted = []
+                for nxt in (int(f) for f in batch):
+                    ok, n_inl, n_cand = results[nxt]
+                    if not ok:
+                        # Retry later rather than blacklisting on the first
+                        # failure: the reference revisits registration
+                        # candidates as the map matures (RegisterNextImage
+                        # keeps frames in the candidate pool), and a frontier
+                        # frame attempted with 1-2 registered neighbors often
+                        # succeeds once its successors add tracks.  A
+                        # permanently-dead frontier frame starves every frame
+                        # behind it (measured: one weak frame killed the last
+                        # 339 frames of a 1000-frame circuit).
+                        self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
+                        if self._rejections[nxt] >= 3:
+                            m.registered_fail[nxt] = True
+                            self.stats.failed += 1
+                        self._log(
+                            f"register frame {nxt} FAILED "
+                            f"({n_inl}/{n_cand} inliers, "
+                            f"attempt {self._rejections[nxt]})"
+                        )
+                        if o.stop_when_register_fail and m.registered_fail[nxt]:
+                            stop = True
+                            break
+                        continue
+                    from . import error_correct as EC
+
+                    t0 = time.time()
+                    consistent = EC.registration_is_consistent(m, nxt)
+                    self.stats.time_consistency += time.time() - t0
+                    checked_correction = False
+                    if not consistent and o.correct_pose:
+                        # An epipolar-inconsistent pose at a well-matched frame
+                        # is the loop-closure signature: the PnP pose (drifted
+                        # camp) disagrees with the other camp's epipolar
+                        # geometry.  The reference routes this into
+                        # CheckAndCorrectPose (error_corrector.cc:187-246)
+                        # rather than rejecting — dropping the frame would
+                        # leave the map a chain that no amount of BA can
+                        # de-drift.
+                        t0 = time.time()
+                        if EC.check_and_correct_pose(
+                            m, nxt, reg_opts=o.reg, tri_opts=o.tri
+                        ):
+                            self._log(f"frame {nxt}: loop error corrected")
+                            self.stats.corrections += 1
+                            consistent = True
+                            self._post_correction_amnesty(m)
+                        else:
+                            consistent = EC.registration_is_consistent(m, nxt)
+                        self.stats.time_check += time.time() - t0
+                        checked_correction = True
+                    if not consistent:
+                        # planar-PnP ambiguity / bad registration: undo; retry
+                        # once later (more tracks may disambiguate), then fail
+                        m.deregister_frame(nxt)
+                        self._rejections[nxt] = self._rejections.get(nxt, 0) + 1
+                        if self._rejections[nxt] >= 2:
+                            m.registered_fail[nxt] = True
+                            self.stats.failed += 1
+                        self._log(
+                            f"register frame {nxt} REJECTED (epipolar-"
+                            f"inconsistent pose, attempt {self._rejections[nxt]})"
+                        )
+                        if o.stop_when_register_fail and m.registered_fail[nxt]:
+                            stop = True
+                            break
+                        continue
+                    self.stats.registered += 1
+
+                    if o.correct_pose and not checked_correction:
+                        t0 = time.time()
+                        if EC.check_and_correct_pose(
+                            m, nxt, reg_opts=o.reg, tri_opts=o.tri
+                        ):
+                            self._log(f"frame {nxt}: loop error corrected")
+                            self.stats.corrections += 1
+                            self._post_correction_amnesty(m)
+                        self.stats.time_check += time.time() - t0
+
+                    t0 = time.time()
+                    n_new, n_ext = triangulate.triangulate_frame(m, nxt, o.tri)
+                    self.stats.time_triangulate += time.time() - t0
+
+                    t0 = time.time()
+                    tri_ids = [
+                        int(t) for t in np.unique(m.track_of[nxt]) if t >= 0
                     ]
-                    fresh.update(int(t) for t in low)
-                if fresh:
-                    triangulate.retriangulate(
-                        m, sorted(fresh), o.tri
-                    )
-                self.stats.time_triangulate += time.time() - t0
+                    triangulate.filter_tracks(m, tri_ids, o.tri)
+                    self.stats.time_filter += time.time() - t0
 
-                # one LBA over the union of the batch's local bundles
-                # (the reference runs LBA once per single registration)
-                t0 = time.time()
-                local = []
-                seen = set()
-                for nxt in accepted:
-                    for f in self._local_frames(m, nxt):
-                        if f not in seen:
-                            seen.add(f)
-                            local.append(f)
-                # LBA problem bounded like the reference's SetUpLBA
-                # (ba_solver.cc:358-391): residuals come from LOCAL frames
-                # only (no frozen observer fan-in), and points are frozen
-                # unless newly observed and still poorly triangulated.
-                # (The reference compares angle_ [radians] against 5 —
-                # never true — so its effective rule is "frozen unless
-                # observed by the new frame"; we implement the intended
-                # 5-degree gate as well.)
-                nt = m.num_tracks
-                far = m.track_angle[:nt] > np.deg2rad(5.0)
-                new_obs = np.zeros(nt, bool)
-                for nxt in accepted:
-                    t_ids = m.track_of[nxt]
-                    new_obs[t_ids[t_ids >= 0]] = True
-                ba_glue.run_ba(
-                    m, local, BAOptions(max_iters=o.lba_iters, huber_px=4.0),
-                    obs_frames=local, freeze_tracks=far | ~new_obs,
-                )
-                self.stats.time_lba += time.time() - t0
-
-            n_reg = int(np.count_nonzero(m.registered))
-            if accepted:
-                self._log(
-                    f"batch of {len(batch)}: {len(accepted)} accepted, "
-                    f"reg {n_reg}"
-                )
-
-            if n_reg >= o.gba_growth * num_reg_at_gba:
-                t0 = time.time()
-                from . import keyframe as KF
-
-                if o.refine_intrinsics and not self._intri_gba_warm:
-                    # Graduated non-convexity for the FIRST intrinsics
-                    # GBA: with EXIF-grade focal errors most residuals sit
-                    # beyond the Huber knee, IRLS crushes the gradient and
-                    # LM stalls in a high-cost plateau (measured on the
-                    # 80-frame plaza: 30 iters at huber 4 leave cost at
-                    # 245k vs 6.4k when the first solve runs effectively
-                    # unrobust).  One wide-knee pass precedes the normal
-                    # robust solve; contamination is still bounded by the
-                    # knee, just at a coarser scale.
-                    self._intri_gba_warm = True
-                    KF.kgba(
-                        m,
-                        BAOptions(max_iters=o.gba_iters, huber_px=32.0),
-                        tri_opts=None,
-                        optimize_intrinsics=True,
-                    )
-                gres = KF.kgba(
-                    m,
-                    BAOptions(max_iters=o.gba_iters, huber_px=4.0),
-                    tri_opts=o.tri,
-                    optimize_intrinsics=o.refine_intrinsics,
-                    mesh=self._mesh(),
-                )
-                self.stats.time_gba += time.time() - t0
-                num_reg_at_gba = n_reg
-                if gres is not None:
+                    t0 = time.time()
+                    n_merged = triangulate.merge_frame_tracks(m, nxt, o.tri)
+                    self.stats.time_merge += time.time() - t0
+                    accepted.append(nxt)
                     self._log(
-                        f"KGBA over {n_reg} frames: cost "
-                        f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
+                        f"frame {nxt}: +{n_new} tracks, {n_ext} extended, "
+                        f"{n_merged} merged, {results[nxt][1]} pnp inliers"
                     )
-                if o.refine_intrinsics:
-                    # refined cameras + structure invalidate earlier
-                    # registration failures (they were judged under the
-                    # old intrinsics) — same rationale as the loop-
-                    # correction amnesty
-                    self._post_correction_amnesty(m)
+                    if (o.max_registrations
+                            and self.stats.registered >= o.max_registrations):
+                        stop = True
+                        break
 
-            if (o.snapshot_every and o.snapshot_path and accepted
-                    and self.stats.registered % o.snapshot_every
-                    < len(accepted)):
-                from ..base import snapshot as SNAP
+                if accepted:
+                    # Refresh low-parallax tracks of the batch's frames with a
+                    # full-baseline re-triangulation (ONE dispatch).  Points
+                    # keep their creation-time depth until BA frees them, and
+                    # a depth fitted from a short forward-motion window is
+                    # biased ~0.1-0.2% short; registering the next frame
+                    # against biased depths shrinks the step, which shrinks
+                    # the next baseline — measured on a 1000-frame circuit,
+                    # the compounding collapsed map scale to 1% of truth by
+                    # frame 650 and starved registration.  Re-fitting from
+                    # the spread of each track's observations removes the
+                    # bias as soon as the baseline exists (reference:
+                    # ReTriangulate, track_processor.cc:373-424, plus its
+                    # angle-aware FindLocalBundle, ba_solver.cc:393-493).
+                    t0 = time.time()
+                    fresh = set()
+                    nt = m.num_tracks
+                    for nxt in accepted:
+                        t_ids = m.track_of[nxt]
+                        t_ids = t_ids[t_ids >= 0]
+                        low = t_ids[
+                            m.track_angle[t_ids] < np.deg2rad(10.0)
+                        ]
+                        fresh.update(int(t) for t in low)
+                    if fresh:
+                        triangulate.retriangulate(
+                            m, sorted(fresh), o.tri
+                        )
+                    self.stats.time_triangulate += time.time() - t0
 
-                SNAP.save_snapshot(m, o.snapshot_path)
-            if o.max_registrations and self.stats.registered >= o.max_registrations:
-                self._log(
-                    f"stopping after {self.stats.registered} registrations "
-                    f"(max_registrations)"
-                )
-                stop = True
+                    # one LBA over the union of the batch's local bundles
+                    # (the reference runs LBA once per single registration)
+                    t0 = time.time()
+                    local = []
+                    seen = set()
+                    for nxt in accepted:
+                        for f in self._local_frames(m, nxt):
+                            if f not in seen:
+                                seen.add(f)
+                                local.append(f)
+                    # LBA problem bounded like the reference's SetUpLBA
+                    # (ba_solver.cc:358-391): residuals come from LOCAL frames
+                    # only (no frozen observer fan-in), and points are frozen
+                    # unless newly observed and still poorly triangulated.
+                    # (The reference compares angle_ [radians] against 5 —
+                    # never true — so its effective rule is "frozen unless
+                    # observed by the new frame"; we implement the intended
+                    # 5-degree gate as well.)
+                    nt = m.num_tracks
+                    far = m.track_angle[:nt] > np.deg2rad(5.0)
+                    new_obs = np.zeros(nt, bool)
+                    for nxt in accepted:
+                        t_ids = m.track_of[nxt]
+                        new_obs[t_ids[t_ids >= 0]] = True
+                    ba_glue.run_ba(
+                        m, local, BAOptions(max_iters=o.lba_iters, huber_px=4.0),
+                        obs_frames=local, freeze_tracks=far | ~new_obs,
+                    )
+                    self.stats.time_lba += time.time() - t0
 
-        # final polish: rot-avg -> GBA -> filter -> merge sweep ->
-        # retriangulate -> GBA
-        reg_frames = list(np.nonzero(m.registered)[0])
-        if len(reg_frames) >= 2:
-            t0 = time.time()
+                n_reg = int(np.count_nonzero(m.registered))
+                if accepted:
+                    self._log(
+                        f"batch of {len(batch)}: {len(accepted)} accepted, "
+                        f"reg {n_reg}"
+                    )
+
+                if n_reg >= o.gba_growth * num_reg_at_gba:
+                    t0 = time.time()
+                    from . import keyframe as KF
+
+                    if o.refine_intrinsics and not self._intri_gba_warm:
+                        # Graduated non-convexity for the FIRST intrinsics
+                        # GBA: with EXIF-grade focal errors most residuals sit
+                        # beyond the Huber knee, IRLS crushes the gradient and
+                        # LM stalls in a high-cost plateau (measured on the
+                        # 80-frame plaza: 30 iters at huber 4 leave cost at
+                        # 245k vs 6.4k when the first solve runs effectively
+                        # unrobust).  One wide-knee pass precedes the normal
+                        # robust solve; contamination is still bounded by the
+                        # knee, just at a coarser scale.
+                        self._intri_gba_warm = True
+                        KF.kgba(
+                            m,
+                            BAOptions(max_iters=o.gba_iters, huber_px=32.0),
+                            tri_opts=None,
+                            optimize_intrinsics=True,
+                        )
+                    gres = KF.kgba(
+                        m,
+                        BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+                        tri_opts=o.tri,
+                        optimize_intrinsics=o.refine_intrinsics,
+                        mesh=self._mesh(),
+                    )
+                    self.stats.time_gba += time.time() - t0
+                    num_reg_at_gba = n_reg
+                    if gres is not None:
+                        self._log(
+                            f"KGBA over {n_reg} frames: cost "
+                            f"{gres.initial_cost:.1f} -> {gres.final_cost:.1f}"
+                        )
+                    if o.refine_intrinsics:
+                        # refined cameras + structure invalidate earlier
+                        # registration failures (they were judged under the
+                        # old intrinsics) — same rationale as the loop-
+                        # correction amnesty
+                        self._post_correction_amnesty(m)
+
+                if (o.snapshot_every and o.snapshot_path and accepted
+                        and self.stats.registered % o.snapshot_every
+                        < len(accepted)):
+                    from ..base import snapshot as SNAP
+
+                    SNAP.save_snapshot(m, o.snapshot_path)
+                if o.max_registrations and self.stats.registered >= o.max_registrations:
+                    self._log(
+                        f"stopping after {self.stats.registered} registrations "
+                        f"(max_registrations)"
+                    )
+                    stop = True
+
+            # final polish: rot-avg -> GBA -> filter -> merge sweep ->
+            # retriangulate -> GBA
+            reg_frames = list(np.nonzero(m.registered)[0])
             rotated = False
-            if o.global_polish and len(reg_frames) >= 10:
-                # full global pose polish: rotation averaging + robust
-                # translation recovery from measured pair directions —
-                # the escape from the drift basin BA cannot leave (no
-                # reference counterpart; optim/global_pose.py)
-                from ..optim import global_pose
+            if len(reg_frames) >= 2:
+                t0 = time.time()
+                rotated = False
+                if o.global_polish and len(reg_frames) >= 10:
+                    # full global pose polish: rotation averaging + robust
+                    # translation recovery from measured pair directions —
+                    # the escape from the drift basin BA cannot leave (no
+                    # reference counterpart; optim/global_pose.py)
+                    from ..optim import global_pose
 
-                rotated = global_pose.global_pose_polish(m, log=self._log)
-            elif o.rot_avg_polish and len(reg_frames) >= 10:
-                # rotation-only averaging (no reference counterpart —
-                # its pose graph never touches rotations, ba_solver.cc:147)
-                from ..optim import rot_avg
+                    rotated = global_pose.global_pose_polish(m, log=self._log)
+                elif o.rot_avg_polish and len(reg_frames) >= 10:
+                    # rotation-only averaging (no reference counterpart —
+                    # its pose graph never touches rotations, ba_solver.cc:147)
+                    from ..optim import rot_avg
 
-                rotated = rot_avg.rotation_averaging_polish(
-                    m, log=self._log
-                )
+                    rotated = rot_avg.rotation_averaging_polish(
+                        m, log=self._log
+                    )
                 if rotated:
                     # re-triangulate EVERY valid track, not just those the
                     # stale (pre-rewrite) track_error flags: after a global
-                    # rotation rewrite all stored errors refer to the old
-                    # poses, and leaving most points in place would pull the
-                    # follow-up GBA back into the old rotational basin
-                    # (same reason error_correct.py retriangulates all)
+                    # pose rewrite all stored errors (and positions) refer
+                    # to the old geometry, and leaving most points in place
+                    # pulls the follow-up GBA back into the old basin (same
+                    # reason error_correct.py retriangulates all)
                     triangulate.retriangulate(
                         m,
                         np.nonzero(m.track_valid[: m.num_tracks])[0],
                         o.tri,
                     )
-            # after loop corrections the polish problem is ill-conditioned:
-            # full-precision Schur products and a damping restart round
-            # (each run_ba re-inits lam) are what let LM leave the
-            # high-lambda plateau the correction parks it on
-            hard = self.stats.corrections > 0 or rotated
-            polish = BAOptions(
-                max_iters=2 * self.opts.gba_iters, huber_px=4.0,
-                precise=hard,
-            )
-            if o.refine_intrinsics:
-                # wide-knee first pass (see the first-KGBA graduated
-                # schedule above) so late-registered cameras' intrinsics
-                # can still reach the global basin, then robust rounds —
-                # each run_ba restarts lam, which escapes the high-lambda
-                # plateaus the slow focal/k1 directions park LM on
-                # (measured: 3 restarts 4.2% -> 1.9% median focal error
-                # where one long solve stalls at ~4%)
-                ba_glue.run_ba(
-                    m, reg_frames,
-                    BAOptions(max_iters=o.gba_iters, huber_px=32.0),
-                    optimize_intrinsics=True,
+                # after loop corrections the polish problem is ill-conditioned:
+                # full-precision Schur products and a damping restart round
+                # (each run_ba re-inits lam) are what let LM leave the
+                # high-lambda plateau the correction parks it on
+                hard = self.stats.corrections > 0 or rotated
+                polish = BAOptions(
+                    max_iters=2 * self.opts.gba_iters, huber_px=4.0,
+                    precise=hard,
                 )
-                for _r in range(2):
+                if o.refine_intrinsics:
+                    # wide-knee first pass (see the first-KGBA graduated
+                    # schedule above) so late-registered cameras' intrinsics
+                    # can still reach the global basin, then robust rounds —
+                    # each run_ba restarts lam, which escapes the high-lambda
+                    # plateaus the slow focal/k1 directions park LM on
+                    # (measured: 3 restarts 4.2% -> 1.9% median focal error
+                    # where one long solve stalls at ~4%)
                     ba_glue.run_ba(
                         m, reg_frames,
-                        BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+                        BAOptions(max_iters=o.gba_iters, huber_px=32.0),
                         optimize_intrinsics=True,
                     )
-            for _round in range(2 if hard else 1):
-                pres = ba_glue.run_ba(m, reg_frames, polish,
-                                      optimize_intrinsics=o.refine_intrinsics,
-                                      mesh=self._mesh())
-                if pres is not None:
-                    self._log(
-                        f"polish GBA round {_round}: cost "
-                        f"{pres.initial_cost:.1f} -> {pres.final_cost:.1f}"
-                    )
-            import dataclasses as _dc
+                    for _r in range(2):
+                        ba_glue.run_ba(
+                            m, reg_frames,
+                            BAOptions(max_iters=o.gba_iters, huber_px=4.0),
+                            optimize_intrinsics=True,
+                        )
+                for _round in range(2 if hard else 1):
+                    pres = ba_glue.run_ba(m, reg_frames, polish,
+                                          optimize_intrinsics=o.refine_intrinsics,
+                                          mesh=self._mesh())
+                    if pres is not None:
+                        self._log(
+                            f"polish GBA round {_round}: cost "
+                            f"{pres.initial_cost:.1f} -> {pres.final_cost:.1f}"
+                        )
+                import dataclasses as _dc
 
-            tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)
-            triangulate.filter_tracks(m, None, tight)
-            # global merge sweep: duplicates that survived mapping (e.g.
-            # the two camps of a closed loop) pass the reprojection gate
-            # once GBA has settled the geometry
-            triangulate.merge_all_tracks(m, None, self.opts.tri)
-            n_rt = triangulate.retriangulate(m, None, self.opts.tri)
-            fres = ba_glue.run_ba(
-                m, reg_frames,
-                BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0),
-                optimize_intrinsics=o.refine_intrinsics,
-            )
-            if fres is not None:
-                self._log(
-                    f"polish GBA final: cost "
-                    f"{fres.initial_cost:.1f} -> {fres.final_cost:.1f}"
+                tight = _dc.replace(self.opts.tri, filter_px=self.opts.tri.polish_px)
+                triangulate.filter_tracks(m, None, tight)
+                # global merge sweep: duplicates that survived mapping (e.g.
+                # the two camps of a closed loop) pass the reprojection gate
+                # once GBA has settled the geometry
+                triangulate.merge_all_tracks(m, None, self.opts.tri)
+                n_rt = triangulate.retriangulate(m, None, self.opts.tri)
+                fres = ba_glue.run_ba(
+                    m, reg_frames,
+                    BAOptions(max_iters=self.opts.gba_iters, huber_px=2.0),
+                    optimize_intrinsics=o.refine_intrinsics,
                 )
-            triangulate.filter_tracks(m, None, tight)
-            self.stats.time_gba += time.time() - t0
-            if n_rt:
-                self._log(f"final polish: {n_rt} tracks retriangulated")
+                if fres is not None:
+                    self._log(
+                        f"polish GBA final: cost "
+                        f"{fres.initial_cost:.1f} -> {fres.final_cost:.1f}"
+                    )
+                triangulate.filter_tracks(m, None, tight)
+                self.stats.time_gba += time.time() - t0
+                if n_rt:
+                    self._log(f"final polish: {n_rt} tracks retriangulated")
+
+            fresh = (~m.registered) & m.registered_fail
+            if (_growth_round == 0 and rotated
+                    and np.count_nonzero(fresh)):
+                self._log(
+                    f"resurrection round: {int(np.count_nonzero(fresh))} "
+                    f"failed frames retried against the polished map"
+                )
+                self._post_correction_amnesty(m)
+                num_reg_at_gba = max(2, int(np.count_nonzero(m.registered)))
+                continue
+            break
+
         self.stats.tracks = int(np.count_nonzero(m.track_valid))
         self.stats.time_total = time.time() - t_start
         s = self.stats

@@ -472,3 +472,47 @@ class SiftExtractor:
         kps[:, 2] = np.asarray(sigma[0])[v][inb]
         kps[:, 3] = np.asarray(ang[0])[v][inb]
         return kps, np.asarray(desc[0])[v][inb]
+
+    def extract_batch(self, images, batch: int = 8):
+        """Extract MANY images with batched dispatches (the device
+        pipeline _extract_jit is natively [B,H,W]; per-image dispatch +
+        per-array fetch costs one tunnel round-trip each on the axon
+        platform).  Images of one padded (H, W) group run `batch` at a
+        time with ONE device fetch per group.  Returns a list of
+        (keypoints [N,4], descriptors [N,128]) in input order."""
+        prepped = []
+        for image in images:
+            img = np.asarray(image)
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            img = img.astype(np.float32)
+            if img.size and img.max() > 1.5:
+                img = img / 255.0
+            prepped.append(img)
+        groups = {}
+        for i, img in enumerate(prepped):
+            h, w = img.shape
+            H = (h + 31) // 32 * 32
+            W = (w + 31) // 32 * 32
+            groups.setdefault((H, W), []).append(i)
+        out = [None] * len(prepped)
+        for (H, W), idxs in groups.items():
+            for s in range(0, len(idxs), batch):
+                grp = idxs[s: s + batch]
+                buf = np.zeros((len(grp), H, W), np.float32)
+                for bi, i in enumerate(grp):
+                    h, w = prepped[i].shape
+                    buf[bi, :h, :w] = prepped[i]
+                res = _extract_jit(jnp.asarray(buf), self.opts, H, W)
+                xy, sigma, ang, desc, _score, valid = jax.device_get(res)
+                for bi, i in enumerate(grp):
+                    h, w = prepped[i].shape
+                    v = valid[bi]
+                    xyi = xy[bi][v]
+                    inb = (xyi[:, 0] < w) & (xyi[:, 1] < h)
+                    kps = np.zeros((int(inb.sum()), 4), np.float32)
+                    kps[:, :2] = xyi[inb]
+                    kps[:, 2] = sigma[bi][v][inb]
+                    kps[:, 3] = ang[bi][v][inb]
+                    out[i] = (kps, desc[bi][v][inb])
+        return out

@@ -43,31 +43,59 @@ def get_features(
             return feats
     import cv2
 
+    t0 = time.time()
+    feats = []
     if feature_type == "orb":
         from ..ops.orb import OrbExtractor
 
         ex = OrbExtractor()
+        for i, name in enumerate(image_names):
+            img = cv2.imread(os.path.join(images_dir, name),
+                             cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                feats.append(
+                    IOF.FrameFeatures(name, np.zeros((0, 4), np.float32),
+                                      np.zeros((0, 128), np.uint8))
+                )
+                continue
+            kps, descs = ex.extract(img)
+            if descs.shape[1] == 32:
+                # ftr.bin stores 128-byte rows (reference format); pad
+                # ORB's 32 bytes — Hamming consumers slice [:, :32]
+                descs = np.pad(descs, ((0, 0), (0, 96)))
+            feats.append(IOF.FrameFeatures(name, kps, descs))
+            if verbose:
+                print(f"[extract] {i + 1}/{len(image_names)} {name}: "
+                      f"{len(kps)} features", flush=True)
     else:
+        # SIFT: batched device dispatches (ops/sift.extract_batch — one
+        # dispatch + one fetch per group of 8 images instead of per
+        # image; the per-dispatch tunnel round-trip dominated)
         ex = SiftExtractor(sift_opts)
-    feats = []
-    t0 = time.time()
-    for i, name in enumerate(image_names):
-        img = cv2.imread(os.path.join(images_dir, name), cv2.IMREAD_GRAYSCALE)
-        if img is None:
-            feats.append(
-                IOF.FrameFeatures(name, np.zeros((0, 4), np.float32),
-                                  np.zeros((0, 128), np.uint8))
-            )
-            continue
-        kps, descs = ex.extract(img)
-        if feature_type == "orb" and descs.shape[1] == 32:
-            # ftr.bin stores 128-byte rows (reference format); pad the
-            # 32-byte ORB descriptors — Hamming consumers slice [:, :32]
-            descs = np.pad(descs, ((0, 0), (0, 96)))
-        feats.append(IOF.FrameFeatures(name, kps, descs))
-        if verbose:
-            print(f"[extract] {i + 1}/{len(image_names)} {name}: "
-                  f"{len(kps)} features", flush=True)
+        CHUNK = 16
+        for s in range(0, len(image_names), CHUNK):
+            grp = image_names[s: s + CHUNK]
+            imgs, ok = [], []
+            for name in grp:
+                img = cv2.imread(os.path.join(images_dir, name),
+                                 cv2.IMREAD_GRAYSCALE)
+                ok.append(img is not None)
+                imgs.append(
+                    img if img is not None
+                    else np.zeros((32, 32), np.uint8)
+                )
+            results = ex.extract_batch(imgs)
+            for name, good, (kps, descs) in zip(grp, ok, results):
+                if not good:
+                    feats.append(IOF.FrameFeatures(
+                        name, np.zeros((0, 4), np.float32),
+                        np.zeros((0, 128), np.uint8),
+                    ))
+                else:
+                    feats.append(IOF.FrameFeatures(name, kps, descs))
+            if verbose:
+                print(f"[extract] {min(s + CHUNK, len(image_names))}"
+                      f"/{len(image_names)}", flush=True)
     if verbose:
         print(f"[extract] total {time.time() - t0:.1f}s", flush=True)
     IOF.write_features(ftr_path, feats)
