@@ -148,18 +148,20 @@ def main():
             Z = (jnp.einsum("...ij,...jk->...ik", Jp.astype(cd), Lg)
                  * wm[..., None, None])
             m6g = ba_mod._cam_colmask(p2, False).astype(cd)[ell.cam.seg]
-            Ycam = (jnp.einsum("...ri,...rk->...ik", Jc.astype(cd), Z,
-                               preferred_element_type=jnp.float32)
-                    * m6g[:, None, :, None]).astype(cd)
-            out = c + jnp.sum(Ycam.astype(jnp.float32)) * 1e-30
+            Jc16 = Jc.astype(cd) * m6g[:, None, None, :]
+            out = c + jnp.sum(Z.astype(jnp.float32)) * 1e-30
             if upto == "Y":
                 return p, lam, out
-            Ypt = ba_mod._gather_obs(Ycam.reshape(-1, D, 3), ell.pt.slots)
-            out = out + jnp.sum(Ypt.astype(jnp.float32)) * 1e-30
+            Zpt = ba_mod._gather_obs(Z.reshape(-1, 2, 3), ell.pt.slots)
+            out = out + jnp.sum(Zpt.astype(jnp.float32)) * 1e-30
             if upto == "Ypt":
                 return p, lam, out
+            Rc, Mc = ell.cam.slots.shape
+            Gz = jnp.einsum("rmik,rmjk->rmij", Z, Z)
+            Hz = jnp.einsum("rmij,rmjd->rmid", Gz, Jc16)
             S_rows = jax.lax.dot_general(
-                Ycam, Ycam, (((1, 3), (1, 3)), ((0,), (0,))),
+                Jc16.reshape(Rc, Mc * 2, D), Hz.reshape(Rc, Mc * 2, D),
+                (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             C = p2.cam_q.shape[0]

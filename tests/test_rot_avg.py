@@ -118,7 +118,7 @@ def test_measurement_matches_ground_truth_rotation():
     import jax
 
     keys = jax.vmap(jax.random.PRNGKey)(np.arange(1))
-    q_meas, _t_meas, sup = rot_avg._measure_batch(
+    q_meas, _t_meas, sup, _par = rot_avg._measure_batch(
         keys, uv1, uv2, mask, np.full(1, (2.0 / 500.0) ** 2, np.float32)
     )
     q_meas = np.asarray(q_meas[0])

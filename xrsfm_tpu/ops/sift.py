@@ -250,9 +250,37 @@ def _patch_gradients(v: jax.Array):
     return gx * edge[None, :], gy * edge[:, None]
 
 
-def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
-    """Compute dominant orientation + 128-d descriptor for keypoints living
-    on one gaussian image [H,W].  xs, ys [K]; sigma [K] in octave coords.
+def _bilinear_gather_lvl(gstack: jax.Array, l, ys: jax.Array,
+                         xs: jax.Array) -> jax.Array:
+    """gstack [L,H,W]; l scalar level index; ys, xs [...]; zero padding
+    outside.  One 3-index gather per tap — lets every keypoint sample its
+    OWN pyramid level in a single batched call (computing all levels and
+    selecting afterwards was 3x the gather traffic, and gathers dominate
+    this stage's runtime)."""
+    L, H, W = gstack.shape
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    fy = ys - y0
+    fx = xs - x0
+
+    def tap(yy, xx):
+        ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        v = gstack[l, jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+        return jnp.where(ok, v, 0.0)
+
+    return (
+        tap(y0, x0) * (1 - fy) * (1 - fx)
+        + tap(y0, x0 + 1) * (1 - fy) * fx
+        + tap(y0 + 1, x0) * fy * (1 - fx)
+        + tap(y0 + 1, x0 + 1) * fy * fx
+    )
+
+
+def _orientation_and_descriptor(gstack, lvls, xs, ys, sigma,
+                                opts: SiftOptions):
+    """Compute dominant orientation + 128-d descriptor for keypoints of
+    one octave.  gstack [Lg,H,W] gaussian levels; lvls [K] per-keypoint
+    level index into gstack; xs, ys [K]; sigma [K] in octave coords.
 
     Returns (angle [K], desc [K,128], ok [K]).  All binning is expressed as
     (samples x bins) one-hot matmuls — no scatters.
@@ -270,8 +298,8 @@ def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
     # (measured ~15 deg orientation MAD between 45-degree-rotated views)
     wgt_ori = jnp.exp(-(ox**2 + oy**2) / (2 * 2.0**2))
 
-    def per_kp_orient(x, y, sp):
-        v = _bilinear_gather(gauss_lvl, y + oy * sp, x + ox * sp)  # [P,P]
+    def per_kp_orient(l, x, y, sp):
+        v = _bilinear_gather_lvl(gstack, l, y + oy * sp, x + ox * sp)  # [P,P]
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)
         ang = jnp.arctan2(gy, gx)  # [-pi, pi]
@@ -291,13 +319,13 @@ def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
         off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l_ - r_) / denom, 0.0)
         return ((peak + off + 0.5) / opts.ori_bins) * 2 * jnp.pi - jnp.pi
 
-    thetas = jax.vmap(per_kp_orient)(xs, ys, spacing)
+    thetas = jax.vmap(per_kp_orient)(lvls, xs, ys, spacing)
 
-    def per_kp_desc(x, y, sp, theta):
+    def per_kp_desc(l, x, y, sp, theta):
         ct, st = jnp.cos(theta), jnp.sin(theta)
         rx = ct * ox - st * oy
         ry = st * ox + ct * oy
-        v = _bilinear_gather(gauss_lvl, y + ry * sp, x + rx * sp)
+        v = _bilinear_gather_lvl(gstack, l, y + ry * sp, x + rx * sp)
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)
         # the patch is sampled on the ROTATED grid, so finite differences
@@ -320,7 +348,7 @@ def _orientation_and_descriptor(gauss_lvl, xs, ys, sigma, opts: SiftOptions):
         desc = jnp.minimum(desc, 0.2)
         return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
 
-    descs = jax.vmap(per_kp_desc)(xs, ys, spacing, thetas)
+    descs = jax.vmap(per_kp_desc)(lvls, xs, ys, spacing, thetas)
     ok = jnp.isfinite(thetas)
     return thetas, descs, ok
 
@@ -380,35 +408,24 @@ def _extract_jit(img, opts: SiftOptions, h: int, w: int):
         xy, sigma, score, lvl, valid = _extract_octave(
             gauss, dogs, octave_scale, opts, k_pool
         )
-        # orientation + descriptor on the matching gaussian level
-        # (the level below the DoG's upper image: lvl+1); lax.scan over
-        # levels shares one compiled instance of the gather-heavy graph
+        # orientation + descriptor on the matching gaussian level (the
+        # level below the DoG's upper image: lvl+1) — each keypoint
+        # samples its OWN level through a 3-index gather (computing every
+        # level for every keypoint and selecting was 3x the gather work)
         xs_all = xy[..., 0] / octave_scale  # [B, K]
         ys_all = xy[..., 1] / octave_scale
         lvl_sigmas = jnp.asarray(
             [opts.sigma0 * (2.0 ** ((li + 1) / L)) for li in range(L)],
             jnp.float32,
         )
+        sig_kp = lvl_sigmas[lvl]  # [B, K] octave-coordinate sigma
 
-        def level_fn(carry, inp):
-            g_l, sig_l = inp  # [B,H,W], scalar
+        def run(g_b, lvl_b, xs_b, ys_b, sig_b):
+            return _orientation_and_descriptor(
+                g_b, lvl_b + 1, xs_b, ys_b, sig_b, opts
+            )
 
-            def run(g_b, xs_b, ys_b):
-                return _orientation_and_descriptor(
-                    g_b, xs_b, ys_b,
-                    jnp.full(xs_b.shape[0], sig_l), opts,
-                )
-
-            th, de, _ = jax.vmap(run)(g_l, xs_all, ys_all)
-            return carry, (th, de)
-
-        _, (ang_all, desc_all) = jax.lax.scan(
-            level_fn, None,
-            (jnp.moveaxis(gauss[:, 1 : L + 1], 0, 1), lvl_sigmas),
-        )  # ang_all [L,B,K], desc_all [L,B,K,128]
-        sel = lvl[None, :, :] == jnp.arange(L)[:, None, None]  # [L,B,K]
-        ang = jnp.sum(jnp.where(sel, ang_all, 0.0), axis=0)
-        desc = jnp.sum(jnp.where(sel[..., None], desc_all, 0.0), axis=0)
+        ang, desc, _ = jax.vmap(run)(gauss, lvl, xs_all, ys_all, sig_kp)
         all_out.append((xy, sigma, ang, desc, score, valid))
         cur = _downsample2(gauss[:, L])  # image with 2*sigma0 blur
         octave_scale *= 2.0

@@ -797,13 +797,16 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
 
     Key substitution: with L = chol(Vinv), Y_o = (w_o Jc_oᵀ Jp_o) L_p
     absorbs the point marginalization — the correction term G V⁻¹ Gᵀ
-    becomes (GL)(GL)ᵀ, so the CG matvec needs only Y (gathered ONCE into
-    both row layouts, bf16 — f32 accumulation), its diagonal (the
-    SCHUR_JACOBI preconditioner) is one batched matmul per row, and no
-    3x3 multiplies remain in the CG loop.  Y is built directly from the
-    bf16 Jacobians through a slim [O,2,3] intermediate Z = Jp·L·w — the
-    explicit 6x3 coupling blocks W of the textbook formulation are never
-    materialized (HBM gathers dominate this solver's runtime)."""
+    becomes (GL)(GL)ᵀ.  Y is rank-2 (Y_o = Jc_oᵀ Z_o with Z = w·Jp·L,
+    [O,2,3]) and is NEVER materialized: every product uses the factored
+    forms  Yᵀx = Zᵀ(Jc x),  Y z = Jcᵀ(Z z),  Σ Y Yᵀ = Jcᵀ(Z Zᵀ)Jc.
+    The explicit [O,D,3] Y of the textbook formulation costs 36-84 B/slot
+    (D=6-14) to build, transpose-gather into point order, and re-stream
+    every CG iteration — measured 40% of the large-problem LM step;
+    the factored form moves that traffic onto Z (12 B/slot) and a per-CG
+    [O,2] intermediate a = Jc x (4 B/slot), which is also what the
+    point-side transpose-gather (the irreducible Schur communication)
+    now carries.  bf16 operands, f32 accumulation throughout."""
     C = p.cam_q.shape[0]
     P = p.points.shape[0]
     D = Jc.shape[-1]  # 6 pose-only, 14 with a tied-intrinsics tangent
@@ -821,7 +824,8 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     ptm = (~p.fix_pt).astype(w.dtype)
     Rc, Mc = ell.cam.slots.shape
     Rp, Lw = ell.pt.slots.shape
-    if Jc.ndim == 4:  # row-native layout [Rc,Mc,2,D] (packed table)
+    row_native = Jc.ndim == 4
+    if row_native:  # [Rc,Mc,2,D] (packed table)
         wm = (w * ptm[ell.cam.other]).astype(cd)  # [Rc,Mc]
         Lg = L.astype(cd)[ell.cam.other]  # [Rc,Mc,3,3]
         Z = (
@@ -829,31 +833,26 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
             * wm[..., None, None]
         )  # [Rc,Mc,2,3]
         m6g = _cam_colmask(p, with_intri).astype(cd)[ell.cam.seg]  # [Rc,D]
-        Ycam = (
-            jnp.einsum(
-                "...ri,...rk->...ik", Jc.astype(cd), Z,
-                preferred_element_type=jnp.float32,
-            )
-            * m6g[:, None, :, None]
-        ).astype(cd)  # [Rc,Mc,D,3]
-        Ypt = _gather_obs(Ycam.reshape(-1, D, 3), ell.pt.slots)
+        Jc16 = Jc.astype(cd) * m6g[:, None, None, :]  # [Rc,Mc,2,D]
+        # point-order copy of Z (12 B/slot — the only setup-time
+        # transpose gather; the textbook Y form gathered 36-84 B/slot)
+        Zpt = _gather_obs(Z.reshape(-1, 2, 3), ell.pt.slots)
+        Jc_flat = None
     else:
         wm = (w * ptm[p.obs_pt]).astype(cd)
         Lg = L.astype(cd)[p.obs_pt]  # [O,3,3]
-        Z = (
+        Z_flat = (
             jnp.einsum("orj,ojk->ork", Jp.astype(cd), Lg)
             * wm[:, None, None]
         )  # [O,2,3]
         m6g = _cam_colmask(p, with_intri).astype(cd)[p.obs_cam]  # [O,D]
-        Y = (
-            jnp.einsum(
-                "ori,ork->oik", Jc.astype(cd), Z,
-                preferred_element_type=jnp.float32,
-            )
-            * m6g[:, :, None]
-        ).astype(cd)  # [O,D,3]
-        Ypt = _gather_rows(Y, ell.pt)  # [Rp,Lw,D,3] bf16
-        Ycam = _gather_rows(Y, ell.cam)  # [Rc,Mc,D,3] bf16
+        Jc_flat = Jc.astype(cd) * m6g[:, None, :]  # [O,2,D]
+        # NOTE: in the flat layout ell.pt.slots index the ORIGINAL
+        # observation order, so the point-order copies must be gathered
+        # from the flat arrays (the sharded dist_ba path lands here)
+        Zpt = _gather_rows(Z_flat, ell.pt)  # [Rp,Lw,2,3]
+        Jc16 = _gather_rows(Jc_flat, ell.cam)  # [Rc,Mc,2,D]
+        Z = _gather_rows(Z_flat, ell.cam)  # [Rc,Mc,2,3]
     cam_ids = ell.pt.other  # [Rp,Lw]
     pt_ids = ell.cam.other  # [Rc,Mc]
 
@@ -888,18 +887,31 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
             return jnp.sum(a * b)
 
     def _ypt_reduce(x):
-        """yp[p] = Σ_{o∈p} Y_oᵀ x_{cam(o)}  → [P,3]"""
-        xg = x[cam_ids].astype(cd)  # [Rp,Lw,D]
+        """yp[p] = Σ_{o∈p} Y_oᵀ x_{cam(o)} = Σ Z_oᵀ (Jc_o x)  → [P,3].
+
+        a = Jc x is computed row-natively (camera data broadcast per row,
+        no gather) and transpose-gathered at 4 B/slot — the only
+        point-order traffic of the matvec."""
+        if row_native:
+            xg = x.astype(cd)[ell.cam.seg]  # [Rc,D] — row-level, free
+            a = jnp.einsum("rmid,rd->rmi", Jc16, xg)  # [Rc,Mc,2] bf16
+            apt = _gather_obs(a.reshape(-1, 2), ell.pt.slots)
+        else:
+            a = jnp.einsum(
+                "oid,od->oi", Jc_flat, x.astype(cd)[p.obs_cam]
+            )  # [O,2]
+            apt = _gather_rows(a, ell.pt)  # [Rp,Lw,2]
         yrow = jnp.einsum(
-            "rlij,rli->rj", Ypt, xg, preferred_element_type=jnp.float32
+            "rlik,rli->rk", Zpt, apt, preferred_element_type=jnp.float32
         )
         return red(jax.ops.segment_sum(yrow, ell.pt.seg, num_segments=P))
 
     def _ycam_reduce(zp):
-        """t[c] = Σ_{o∈c} Y_o z_{pt(o)}  → [C,D]"""
+        """t[c] = Σ_{o∈c} Y_o z_{pt(o)} = Σ Jc_oᵀ (Z_o z)  → [C,D]"""
         zg = zp[pt_ids].astype(cd)  # [Rc,Mc,3]
+        b = jnp.einsum("rmik,rmk->rmi", Z, zg)  # [Rc,Mc,2]
         trow = jnp.einsum(
-            "rmij,rmj->ri", Ycam, zg, preferred_element_type=jnp.float32
+            "rmid,rmi->rd", Jc16, b, preferred_element_type=jnp.float32
         )
         return red(jax.ops.segment_sum(trow, ell.cam.seg, num_segments=C))
 
@@ -912,11 +924,14 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     u = jnp.einsum("pji,pj->pi", L, bp)  # Lᵀ bp  [P,3]
     rhs = _proj(bc - _ycam_reduce(u))
 
-    # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ as a
-    # multi-contracting dot_general over (slot, 3) — no transposed copy
-    # of the [Rc,Mc,D,3] Y rows
+    # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ with
+    # Y Yᵀ = Jcᵀ (Z Zᵀ) Jc — the tiny [2,2] Gram of Z per slot keeps the
+    # whole product in the factored space
+    Gz = jnp.einsum("rmik,rmjk->rmij", Z, Z)  # [Rc,Mc,2,2]
+    Hz = jnp.einsum("rmij,rmjd->rmid", Gz, Jc16)  # [Rc,Mc,2,D]
     S_rows = jax.lax.dot_general(
-        Ycam, Ycam, (((1, 3), (1, 3)), ((0,), (0,))),
+        Jc16.reshape(Rc, Mc * 2, D), Hz.reshape(Rc, Mc * 2, D),
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [Rc,D,D]
     Sdiag = Ud - red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))

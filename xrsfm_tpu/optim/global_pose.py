@@ -149,10 +149,17 @@ def solve_translation_averaging(
     return np.asarray(c, np.float64), float(med)
 
 
-def global_pose_polish(m, min_inliers: int = 30, log=None) -> bool:
+def global_pose_polish(m, min_inliers: int = 30, log=None,
+                       parallax: str = "lin") -> bool:
     """Measure pair poses once, run rotation averaging, then translation
     recovery; rewrite the registered frames' poses.  Returns True if the
-    map was rewritten (caller must retriangulate ALL tracks + GBA)."""
+    map was rewritten (caller must retriangulate ALL tracks + GBA).
+
+    parallax: weight edges by their measured rotation-compensated flow
+    (the translation direction's conditioning — a low-parallax pair's
+    direction is mostly noise): "off" (support only), "lin" (w ∝
+    parallax, the 1/sigma weighting for direction error ∝ noise/
+    parallax), "sq" (w ∝ parallax², the full inverse-variance form)."""
     reg = np.nonzero(m.registered)[0]
     if len(reg) < 10:
         return False
@@ -162,11 +169,13 @@ def global_pose_polish(m, min_inliers: int = 30, log=None) -> bool:
     )
     if not rotated:
         return False
-    ei, ej, q_meas, t_meas, sup = meas
+    ei, ej, q_meas, t_meas, sup, par = meas
     keep = sup >= float(min_inliers)
     keep &= m.registered[ei] & m.registered[ej]
     ei, ej = ei[keep], ej[keep]
-    q_meas, t_meas, sup = q_meas[keep], t_meas[keep], sup[keep]
+    q_meas, t_meas, sup, par = (
+        q_meas[keep], t_meas[keep], sup[keep], par[keep]
+    )
     if len(ei) < len(reg):
         if log:
             log("global-pose: too few usable edges for translation "
@@ -195,10 +204,18 @@ def global_pose_polish(m, min_inliers: int = 30, log=None) -> bool:
     usable = s_init > 1e-9
     ei_c, ej_c, d, s_init = ei_c[usable], ej_c[usable], d[usable], \
         s_init[usable]
-    sup_u = sup[usable]
+    sup_u, par_u = sup[usable], par[usable]
     if len(ei_c) < len(reg):
         return True
     w = np.sqrt(np.minimum(sup_u, 512.0))
+    if parallax != "off":
+        # conditioning weight: direction error ~ match-noise / parallax,
+        # so 1/sigma ~ parallax ("lin"); "sq" is inverse-variance.  The
+        # reference scale is the edge-set median (scene-adaptive), capped
+        # at 4x so a handful of huge-baseline edges cannot monopolize.
+        p_ref = max(float(np.median(par_u)), 1e-4)
+        cw = np.clip(par_u / p_ref, 0.02, 4.0)
+        w = w * (cw if parallax == "lin" else cw * cw)
     c_new, med = solve_translation_averaging(c0, ei_c, ej_c, d, s_init, w)
     move = np.linalg.norm(c_new - c0, axis=1)
     if log:

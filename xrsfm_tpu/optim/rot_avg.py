@@ -70,7 +70,11 @@ def _measure_batch(keys, uv1, uv2, mask, th):
     LO-RANSAC brings the median error to ~0.08 deg.  th is a PER-PAIR
     [P] vector of SQUARED Sampson thresholds in normalized coords
     ((px / f) ** 2, using each pair's own focals).  support = #points
-    passing cheirality under the winning model's inlier set."""
+    passing cheirality under the winning model's inlier set.  parallax
+    [P] is the median rotation-compensated angular flow (rad): ~0 for a
+    pure-rotation pair (whose translation direction is unobservable),
+    large when the baseline/depth ratio — hence the direction's
+    conditioning — is good.  Feeds translation-averaging edge weights."""
     from ..mapper import kernels as K
 
     def one(key, u1, u2, mk, th_k):
@@ -83,7 +87,19 @@ def _measure_batch(keys, uv1, uv2, mask, th):
         # RANSAC-E on 11/12 such pairs) — see refine_essential_manifold
         q, t = epipolar.refine_essential_manifold(q, t, u1, u2, mk, th_k)
         n_good = jnp.where(ok, n_good, 0)
-        return q, t, n_good.astype(jnp.float32)
+        # parallax: masked median of angle(R x1, x2) over the matches
+        ones = jnp.ones(u1.shape[:-1] + (1,), u1.dtype)
+        x1 = jnp.concatenate([u1, ones], axis=-1)
+        x2 = jnp.concatenate([u2, ones], axis=-1)
+        x1 = x1 / jnp.linalg.norm(x1, axis=-1, keepdims=True)
+        x2 = x2 / jnp.linalg.norm(x2, axis=-1, keepdims=True)
+        rx1 = G.quat_rotate(q[None, :], x1)
+        cosang = jnp.clip(jnp.sum(rx1 * x2, axis=-1), -1.0, 1.0)
+        ang = jnp.where(mk, jnp.arccos(cosang), jnp.inf)
+        cnt = jnp.maximum(jnp.sum(mk), 1)
+        par = jnp.sort(ang)[jnp.maximum((cnt - 1) // 2, 0)]
+        par = jnp.where(jnp.isfinite(par), par, 0.0)
+        return q, t, n_good.astype(jnp.float32), par
 
     return jax.vmap(one)(keys, uv1, uv2, mask, th)
 
@@ -97,12 +113,14 @@ def measure_pair_rotations(
     """Measure R_ij (x_j = R x_i + t) for every verified pair between
     registered frames, from match coordinates alone.
 
-    Returns (ei [E], ej [E], q_meas [E,4], t_meas [E,3], support [E])
-    numpy arrays — t_meas is the unit relative translation (x_j = R x_i
-    + t convention; feeds translation averaging, optim/global_pose.py),
-    support the cheirality inlier count (edge weight basis).  Pairs with
-    fewer than min_inliers matches are skipped; matches beyond max_pts
-    are strided down."""
+    Returns (ei [E], ej [E], q_meas [E,4], t_meas [E,3], support [E],
+    parallax [E]) numpy arrays — t_meas is the unit relative translation
+    (x_j = R x_i + t convention; feeds translation averaging,
+    optim/global_pose.py), support the cheirality inlier count (edge
+    weight basis), parallax the median rotation-compensated angular flow
+    in radians (direction-conditioning proxy).  Pairs with fewer than
+    min_inliers matches are skipped; matches beyond max_pts are strided
+    down."""
     from ..mapper import kernels as K
 
     ei: List[int] = []
@@ -122,7 +140,7 @@ def measure_pair_rotations(
     if not tables:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32),
-                np.zeros(0, np.float32))
+                np.zeros(0, np.float32), np.zeros(0, np.float32))
     P = len(tables)
     pb = K.bucket(P, lo=4)
     nb = K.bucket(max(len(a) for a, _ in tables), lo=64)
@@ -146,10 +164,10 @@ def measure_pair_rotations(
     keys = jax.vmap(jax.random.PRNGKey)(
         jnp.arange(pb) * 7919 + np.int32(len(tables))
     )
-    q, t, sup = jax.device_get(_measure_batch(keys, uv1, uv2, mask, th))
+    q, t, sup, par = jax.device_get(_measure_batch(keys, uv1, uv2, mask, th))
     return (np.asarray(ei, np.int32), np.asarray(ej, np.int32),
             q[:P].astype(np.float32), t[:P].astype(np.float32),
-            sup[:P].astype(np.float32))
+            sup[:P].astype(np.float32), par[:P].astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -286,7 +304,7 @@ def rotation_averaging_polish(
         return False
     if measurements is None:
         measurements = measure_pair_rotations(m, min_inliers=min_inliers)
-    ei, ej, q_meas, _t, sup = measurements
+    ei, ej, q_meas, _t, sup = measurements[:5]
     if len(ei) == 0:
         return False
     # Gross-outlier pre-gate: drop edges whose measurement disagrees with
