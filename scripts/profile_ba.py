@@ -181,11 +181,12 @@ def main():
         def step(p, lam, tick):
             r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
             cost, w = ba_mod._robust_cost_and_weight(r, z, w_row(p), 4.0)
-            U, V, bc, bp = ba_mod._build_normal_blocks_ell(
-                p, ell, r, Jc, Jp, w
+            U, V, bc, bp, ptg = ba_mod._build_normal_blocks_ell(
+                p, ell, r, Jc, Jp, w, return_pt_gathers=True
             )
             dx_c, dx_p = ba_mod._schur_solve_ell(
-                p, ell, U, V, bc, bp, Jc, Jp, w, lam, k, 1e-20
+                p, ell, U, V, bc, bp, Jc, Jp, w, lam, k, 1e-20,
+                pt_gathers=ptg,
             )
             cand = ba_mod._apply_step(p, dx_c, dx_p)
             r2, z2 = ba_mod._residuals_only_rows(cand, ell)

@@ -25,6 +25,10 @@ class BAGlueResult:
     initial_cost: float
     final_cost: float
     iters: int
+    # live (non-padding) observation count of the solved problem — lets
+    # callers compare robust cost ACROSS solves as cost-per-observation
+    # (the trial-polish accept gate in mapper/incremental.py)
+    n_obs: int = 0
 
 
 def _collect(m: SfMMap, opt_frames: Sequence[int], obs_frames=None):
@@ -71,7 +75,7 @@ def build_problem(
     frames, tracks, (row_f, row_t, row_p) = _collect(m, opt_frames, obs_frames)
     n_obs = len(row_f)
     if n_obs == 0:
-        return None, None, None, None
+        return None, None, None, None, 0
 
     C = kernels.bucket(len(frames), lo=8)
     P = kernels.bucket(len(tracks), lo=64)
@@ -173,7 +177,7 @@ def build_problem(
     )
     # camera-major packing: camera-side ELL gathers become reshapes
     prob, ell = pack_camera_major(prob, n_valid=n_obs)
-    return prob, frames, tracks, ell
+    return prob, frames, tracks, ell, n_obs
 
 
 def run_ba(
@@ -197,7 +201,7 @@ def run_ba(
     production scale-out path.  Intrinsics-refining solves stay on the
     single-device solver (the distributed step is pose-only)."""
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
-    prob, frames, tracks, ell = build_problem(
+    prob, frames, tracks, ell, n_obs = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
         obs_frames=obs_frames, freeze_tracks=freeze_tracks,
     )
@@ -251,4 +255,5 @@ def run_ba(
         initial_cost=float(ini),
         final_cost=float(fin),
         iters=int(its),
+        n_obs=int(n_obs),
     )

@@ -653,7 +653,7 @@ def _cam_colmask(p: BAProblem, with_intri: bool):
 
 
 def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
-                             reduce_fn=None):
+                             reduce_fn=None, return_pt_gathers=False):
     """Scatter-free normal-equation blocks via ELL row gathers.
 
     Equivalent to _build_normal_blocks; every observation-sized
@@ -728,6 +728,12 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     ptm = (~p.fix_pt).astype(V.dtype)
     V = V * ptm[:, None, None]
     bp = bp * ptm[:, None]
+    if return_pt_gathers:
+        # hand the point-layout copies of Jp and the packed scalars to
+        # the Schur solve — it needs exactly these to build Zpt, and the
+        # transpose gather is the expensive step at scale (measured: the
+        # pt-side gathers dominate the jac+normal phase at 1M obs)
+        return U, V, bc, bp, (Jpg, spg)
     return U, V, bc, bp
 
 
@@ -791,7 +797,7 @@ def _chol3x3(M):
 
 def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
                      lam, cg_iters, cg_tol, reduce_fn=None,
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16, pt_gathers=None):
     """ELL-layout Schur solve: points marginalized in closed form, PCG on
     the reduced camera system with scatter-free matvecs.
 
@@ -834,9 +840,7 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
         )  # [Rc,Mc,2,3]
         m6g = _cam_colmask(p, with_intri).astype(cd)[ell.cam.seg]  # [Rc,D]
         Jc16 = Jc.astype(cd) * m6g[:, None, None, :]  # [Rc,Mc,2,D]
-        # point-order copy of Z (12 B/slot — the only setup-time
-        # transpose gather; the textbook Y form gathered 36-84 B/slot)
-        Zpt = _gather_obs(Z.reshape(-1, 2, 3), ell.pt.slots)
+        Zpt = None  # built below (reusing the normal-block gathers)
         Jc_flat = None
     else:
         wm = (w * ptm[p.obs_pt]).astype(cd)
@@ -853,6 +857,25 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
         Zpt = _gather_rows(Z_flat, ell.pt)  # [Rp,Lw,2,3]
         Jc16 = _gather_rows(Jc_flat, ell.cam)  # [Rc,Mc,2,D]
         Z = _gather_rows(Z_flat, ell.cam)  # [Rc,Mc,2,3]
+    if Zpt is None:
+        if pt_gathers is not None:
+            # reuse the normal-block build's point-layout gathers: Zpt =
+            # Jp_pt · L · w, with L and the fix_pt mask ROW-uniform in the
+            # point layout (each pt row is one point) — no fresh
+            # transpose gather at all (the pt-side gathers are what
+            # scales worst at 1M obs)
+            Jpg, spg = pt_gathers
+            L_row = L.astype(cd)[ell.pt.seg]  # [Rp,3,3]
+            wrow = (spg[..., 0].astype(w.dtype)
+                    * ptm[ell.pt.seg][:, None]).astype(cd)
+            Zpt = (
+                jnp.einsum("rlij,rjk->rlik", Jpg, L_row)
+                * wrow[..., None, None]
+            )
+        else:
+            # standalone path: one 12 B/slot transpose gather (the
+            # textbook Y form gathered 36-84 B/slot here)
+            Zpt = _gather_obs(Z.reshape(-1, 2, 3), ell.pt.slots)
     cam_ids = ell.pt.other  # [Rp,Lw]
     pt_ids = ell.cam.other  # [Rc,Mc]
 
@@ -1167,11 +1190,13 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
             w_full = prob.obs_w
         _, w = _robust_cost_and_weight(r, z, w_full, opts.huber_px)
         if ell is not None:
-            U, V, bc, bp = _build_normal_blocks_ell(prob, ell, r, Jc, Jp, w)
+            U, V, bc, bp, ptg = _build_normal_blocks_ell(
+                prob, ell, r, Jc, Jp, w, return_pt_gathers=True
+            )
             dx_c, dx_p = _schur_solve_ell(
                 prob, ell, U, V, bc, bp, Jc, Jp, w, lam,
                 opts.cg_iters, opts.cg_tol,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, pt_gathers=ptg,
             )
         else:
             U, V, W, bc, bp = _build_normal_blocks(prob, r, Jc, Jp, w)
