@@ -123,3 +123,102 @@ def test_initialize_narrow_baseline():
     ok = I.find_and_initialize(m)
     assert ok, "narrow-baseline initialization failed"
     assert int(np.count_nonzero(m.registered)) == 2
+
+
+def _full_map_state(m):
+    """Every piece of public map state, deep-copied, for bit-identity
+    comparison around the polish trial gate."""
+    import copy
+
+    nt = m.num_tracks
+    return dict(
+        q=m.q.copy(), t=m.t.copy(),
+        xyz=m.track_xyz[:nt].copy(), valid=m.track_valid[:nt].copy(),
+        err=m.track_error[:nt].copy(), ang=m.track_angle[:nt].copy(),
+        cameras={c: np.array(p) for c, p in m.cameras.items()},
+        camera_models={
+            c: (mid, np.array(raw), w, h)
+            for c, (mid, raw, w, h) in m.camera_models.items()
+        },
+        kps_norm=[k.copy() for k in m.kps_norm],
+        registered=m.registered.copy(),
+        registered_fail=m.registered_fail.copy(),
+        obs_track=m.obs_track[: m.num_obs_slots].copy(),
+        num_obs=m.num_obs_slots,
+        num_tracks=nt,
+        track_obs=copy.deepcopy(m.track_obs),
+        track_of=np.concatenate(m.track_of).copy(),
+        p3d_cnt=np.concatenate(m.p3d_corr_cnt).copy(),
+    )
+
+
+def test_polish_revert_is_lossless():
+    """A REVERTED global-polish trial must leave the map bit-identical
+    to the pre-trial snapshot (r3 verdict weak#8).  The trial mutates:
+    poses (the rewrite touches only m.q/m.t — asserted by inspection of
+    optim/global_pose.py:231 / optim/rot_avg.py:400-401, simulated here
+    by a direct perturbation), track geometry (retriangulate), and
+    poses+points+cameras(+kps_norm) via an intrinsics-refining GBA."""
+    from xrsfm_tpu.mapper import ba_glue, incremental
+    from xrsfm_tpu.mapper import triangulate as TRI
+    from xrsfm_tpu.optim.ba import BAOptions
+
+    s = make_scene(n_cams=8, n_pts=120, seed=3, noise=0.0)
+    f, cx, cy = 500.0, 320.0, 240.0
+    m = SfMMap()
+    m.add_camera(0, C.PINHOLE, [f, f, cx, cy], 640, 480)
+    for i in range(8):
+        uv_px = s["uv"][i] * f + np.array([cx, cy], np.float32)
+        m.add_frame(f"img{i:04d}.png", 0, uv_px.astype(np.float32))
+    idx = np.arange(120, dtype=np.int32)
+    for i in range(8):
+        for j in range(i + 1, min(i + 4, 8)):
+            m.add_pair(i, j, np.stack([idx, idx], axis=1))
+    m.build_correspondence_graph()
+    m.q[:] = s["q"]
+    m.t[:] = s["t"]
+    m.registered[:] = True
+    m.init_id1, m.init_id2 = 0, 1
+    rng = np.random.default_rng(11)
+    for k in range(120):
+        tid = m.new_track(s["xyz"][k] + rng.normal(scale=0.01, size=3))
+        for i in range(8):
+            m.add_observation(tid, i, k)
+
+    snap = _full_map_state(m)
+    backup = incremental.polish_backup(m)
+
+    # --- the trial: pose rewrite stand-in + retriangulate + GBA rounds
+    m.q[:, 1:] += rng.normal(scale=0.01, size=(8, 3))
+    m.q /= np.linalg.norm(m.q, axis=1, keepdims=True)
+    m.t += rng.normal(scale=0.02, size=m.t.shape)
+    TRI.retriangulate(
+        m, np.nonzero(m.track_valid[: m.num_tracks])[0], TRI.TriOptions()
+    )
+    ba_glue.run_ba(
+        m, list(range(8)), BAOptions(max_iters=3),
+        optimize_intrinsics=True,
+    )
+    assert not np.array_equal(m.q, snap["q"])  # the trial really mutated
+
+    incremental.polish_restore(m, backup)
+    post = _full_map_state(m)
+    for key in snap:
+        a, b = snap[key], post[key]
+        if isinstance(a, dict):
+            assert a.keys() == b.keys(), key
+            for c in a:
+                if key == "camera_models":
+                    assert a[c][0] == b[c][0] and a[c][2:] == b[c][2:], key
+                    assert np.array_equal(a[c][1], b[c][1]), key
+                elif key == "cameras":
+                    assert np.array_equal(a[c], b[c]), key
+        elif isinstance(a, list):
+            if key == "track_obs":
+                assert a == b, key
+            else:
+                assert all(np.array_equal(x, y) for x, y in zip(a, b)), key
+        elif isinstance(a, np.ndarray):
+            assert np.array_equal(a, b), key
+        else:
+            assert a == b, key

@@ -85,6 +85,37 @@ class MapperOptions:
     max_registrations: int = 0
 
 
+def polish_backup(m: SfMMap):
+    """Snapshot every piece of map state the global-polish trial can
+    mutate (poses, structure, cameras + derived kps_norm via
+    update_camera on restore).  The trial steps are: the pose rewrite
+    (optim/global_pose or optim/rot_avg — poses only), retriangulate
+    (track_xyz/track_angle), and GBA rounds (poses, points, cameras).
+    None of them add/remove observations or touch registered flags —
+    tests/test_incremental.py::test_polish_revert_is_lossless asserts a
+    restore is bit-identical over the FULL map state."""
+    nt = m.num_tracks
+    return (
+        nt,
+        m.q.copy(), m.t.copy(),
+        m.track_xyz[:nt].copy(), m.track_valid[:nt].copy(),
+        m.track_error[:nt].copy(), m.track_angle[:nt].copy(),
+        {cid: np.array(p) for cid, p in m.cameras.items()},
+    )
+
+
+def polish_restore(m: SfMMap, backup):
+    nt, q_b, t_b, xyz_b, val_b, err_b, ang_b, cams_b = backup
+    m.q[:] = q_b
+    m.t[:] = t_b
+    m.track_xyz[:nt] = xyz_b
+    m.track_valid[:nt] = val_b
+    m.track_error[:nt] = err_b
+    m.track_angle[:nt] = ang_b
+    for cid, params in cams_b.items():
+        m.update_camera(cid, params)
+
+
 @dataclasses.dataclass
 class MapperStats:
     registered: int = 0
@@ -444,13 +475,17 @@ class IncrementalMapper:
                 # after loop corrections the polish problem is ill-conditioned:
                 # full-precision Schur products and a damping restart round
                 # (each run_ba re-inits lam) are what let LM leave the
-                # high-lambda plateau the correction parks it on.  The same
-                # config on both sides of the trial gate below keeps the
-                # cost comparison fair.
+                # high-lambda plateau the correction parks it on.  The pre
+                # side settles a map the growth loop already refined, so it
+                # derives `hard` from corrections only and skips the
+                # intrinsics wide-knee schedule (the post side re-runs it
+                # because the pose rewrite invalidates the intrinsics
+                # basin) — roughly halving discarded-wall when the gate
+                # reverts (advisor r3).
                 hard = self.stats.corrections > 0 or want_polish
 
-                def _polish_gba_rounds(tag):
-                    if o.refine_intrinsics:
+                def _polish_gba_rounds(tag, schedule_intrinsics, hard):
+                    if schedule_intrinsics:
                         # wide-knee first pass (see the first-KGBA graduated
                         # schedule above) so late-registered cameras'
                         # intrinsics can still reach the global basin, then
@@ -500,19 +535,16 @@ class IncrementalMapper:
                 # cost-per-observation is lower.  Both regimes measured:
                 # large drift 63k -> 38.7k accepts, small drift
                 # 86.6k -> 95.1k reverts.
-                pres_pre = _polish_gba_rounds("pre")
+                pres_pre = _polish_gba_rounds(
+                    "pre", schedule_intrinsics=False,
+                    hard=self.stats.corrections > 0,
+                )
                 cost_pre = (
                     pres_pre.final_cost / max(pres_pre.n_obs, 1)
                     if pres_pre else None
                 )
                 if want_polish:
-                    nt = m.num_tracks
-                    backup = (
-                        m.q.copy(), m.t.copy(),
-                        m.track_xyz[:nt].copy(), m.track_valid[:nt].copy(),
-                        m.track_error[:nt].copy(), m.track_angle[:nt].copy(),
-                        {cid: np.array(p) for cid, p in m.cameras.items()},
-                    )
+                    backup = polish_backup(m)
                     if o.global_polish:
                         # full global pose polish: rotation averaging +
                         # robust translation recovery from measured pair
@@ -544,29 +576,39 @@ class IncrementalMapper:
                         np.nonzero(m.track_valid[: m.num_tracks])[0],
                         o.tri,
                     )
-                    pres_post = _polish_gba_rounds("post")
+                    pres_post = _polish_gba_rounds(
+                        "post", schedule_intrinsics=o.refine_intrinsics,
+                        hard=hard,
+                    )
                     cost_post = (
                         pres_post.final_cost / max(pres_post.n_obs, 1)
                         if pres_post else None
                     )
+                    # obs-loss guard (advisor r3): the post-rewrite
+                    # retriangulation invalidates poorly-fitting tracks, so
+                    # cost_post averages over a survivor set — a rewrite
+                    # that shed its high-residual observations can look
+                    # cheaper per observation while the geometry got worse.
+                    # Cap the shrinkage the cost comparison may ride on.
+                    obs_shrunk = (
+                        pres_pre is not None and pres_post is not None
+                        and pres_post.n_obs < 0.97 * pres_pre.n_obs
+                    )
                     if (
                         cost_pre is not None and cost_post is not None
-                        and cost_post >= cost_pre * 0.995
+                        and (cost_post >= cost_pre * 0.995 or obs_shrunk)
                     ):
-                        q_b, t_b, xyz_b, val_b, err_b, ang_b, cams_b = backup
-                        m.q[:] = q_b
-                        m.t[:] = t_b
-                        m.track_xyz[:nt] = xyz_b
-                        m.track_valid[:nt] = val_b
-                        m.track_error[:nt] = err_b
-                        m.track_angle[:nt] = ang_b
-                        for cid, params in cams_b.items():
-                            m.update_camera(cid, params)
+                        polish_restore(m, backup)
                         rotated = False
+                        why = (
+                            f"observation set shrank "
+                            f"{pres_pre.n_obs} -> {pres_post.n_obs}"
+                            if obs_shrunk and cost_post < cost_pre * 0.995
+                            else "the map beats the measured-edge fixed point"
+                        )
                         self._log(
                             f"global polish REVERTED: cost/obs "
-                            f"{cost_post:.4f} vs {cost_pre:.4f} pre — the "
-                            f"map beats the measured-edge fixed point"
+                            f"{cost_post:.4f} vs {cost_pre:.4f} pre — {why}"
                         )
                 import dataclasses as _dc
 

@@ -653,7 +653,8 @@ def _cam_colmask(p: BAProblem, with_intri: bool):
 
 
 def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
-                             reduce_fn=None, return_pt_gathers=False):
+                             reduce_fn=None, return_pt_gathers=False,
+                             pt_dtype=jnp.bfloat16):
     """Scatter-free normal-equation blocks via ELL row gathers.
 
     Equivalent to _build_normal_blocks; every observation-sized
@@ -672,28 +673,35 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     reduce_fn (e.g. a psum over the mesh's obs axis) is applied to each
     per-segment reduction so the same kernel runs sharded — each shard
     holds a slice of the observation table plus its own ELL tables
-    (parallel/dist_ba.py)."""
+    (parallel/dist_ba.py).
+
+    pt_dtype sets the dtype of the point-side operands (and of the
+    returned pt_gathers): precise solves pass f32 so the Schur products
+    built from the returned (Jpg, spg) match the f32 camera side —
+    a bf16 point side makes the CG operator asymmetric and stalls LM on
+    exactly the ill-conditioned polish problems precise=True exists for."""
     C = p.cam_q.shape[0]
     P = p.points.shape[0]
     red = reduce_fn if reduce_fn is not None else (lambda x: x)
     row_native = Jc.ndim == 4  # [Rc,Mc,2,D] from _*_rows (packed table)
     # packed per-obs scalars: (w, w·r0, w·r1, pad) — one gather per side
-    sc = jnp.concatenate(
+    sc_f = jnp.concatenate(
         [w[..., None], r * w[..., None], jnp.zeros_like(w)[..., None]],
         axis=-1,
-    ).astype(jnp.bfloat16)  # [O, 4] or [Rc,Mc,4]
+    )  # [O, 4] or [Rc,Mc,4] f32
+    sc = sc_f.astype(jnp.bfloat16)
 
     D = Jc.shape[-1]  # 6 pose-only, 14 with intrinsics
     Rc, Mc = ell.cam.slots.shape
     if row_native:
         Jcg = Jc.astype(jnp.bfloat16)  # already row layout, no gather
         scg = sc
-        Jp16 = Jp.astype(jnp.bfloat16).reshape(-1, 2, 3)
-        sc_flat = sc.reshape(-1, 4)
+        Jp16 = Jp.astype(pt_dtype).reshape(-1, 2, 3)
+        sc_flat = sc_f.astype(pt_dtype).reshape(-1, 4)
     else:
         Jc16 = Jc.astype(jnp.bfloat16)
-        Jp16 = Jp.astype(jnp.bfloat16)
-        sc_flat = sc
+        Jp16 = Jp.astype(pt_dtype)
+        sc_flat = sc_f.astype(pt_dtype)
         Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,D] bf16
         scg = _gather_rows(sc, ell.cam)  # [Rc,Mc,4] bf16
     A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, D)
@@ -950,8 +958,13 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ with
     # Y Yᵀ = Jcᵀ (Z Zᵀ) Jc — the tiny [2,2] Gram of Z per slot keeps the
     # whole product in the factored space
-    Gz = jnp.einsum("rmik,rmjk->rmij", Z, Z)  # [Rc,Mc,2,2]
-    Hz = jnp.einsum("rmij,rmjd->rmid", Gz, Jc16)  # [Rc,Mc,2,D]
+    Gz = jnp.einsum(
+        "rmik,rmjk->rmij", Z, Z, preferred_element_type=jnp.float32
+    )  # [Rc,Mc,2,2]
+    Hz = jnp.einsum(
+        "rmij,rmjd->rmid", Gz.astype(cd), Jc16,
+        preferred_element_type=jnp.float32,
+    ).astype(cd)  # [Rc,Mc,2,D]
     S_rows = jax.lax.dot_general(
         Jc16.reshape(Rc, Mc * 2, D), Hz.reshape(Rc, Mc * 2, D),
         (((1,), (1,)), ((0,), (0,))),
@@ -1191,7 +1204,8 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
         _, w = _robust_cost_and_weight(r, z, w_full, opts.huber_px)
         if ell is not None:
             U, V, bc, bp, ptg = _build_normal_blocks_ell(
-                prob, ell, r, Jc, Jp, w, return_pt_gathers=True
+                prob, ell, r, Jc, Jp, w, return_pt_gathers=True,
+                pt_dtype=compute_dtype,
             )
             dx_c, dx_p = _schur_solve_ell(
                 prob, ell, U, V, bc, bp, Jc, Jp, w, lam,
