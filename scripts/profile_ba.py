@@ -116,7 +116,15 @@ def main():
         )
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
         c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
-        U, V, bc, bp = ba_mod._build_normal_blocks_ell(p2, ell, r, Jc, Jp, w)
+        if ell.pt_uv is not None:  # mirror solve_ba's pt-native dispatch
+            U, bc = ba_mod._build_normal_blocks_ell(
+                p2, ell, r, Jc, Jp, w, cam_only=True
+            )
+            V, bp, _ = ba_mod._build_pt_blocks_native(p2, ell, 4.0)
+        else:
+            U, V, bc, bp = ba_mod._build_normal_blocks_ell(
+                p2, ell, r, Jc, Jp, w
+            )
         return p, lam, c + jnp.sum(bc) * 1e-30 + jnp.sum(bp) * 1e-30 + \
             jnp.sum(U) * 1e-30 + jnp.sum(V) * 1e-30
 
@@ -181,9 +189,15 @@ def main():
         def step(p, lam, tick):
             r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
             cost, w = ba_mod._robust_cost_and_weight(r, z, w_row(p), 4.0)
-            U, V, bc, bp, ptg = ba_mod._build_normal_blocks_ell(
-                p, ell, r, Jc, Jp, w, return_pt_gathers=True
-            )
+            if ell.pt_uv is not None:  # mirror solve_ba's dispatch
+                U, bc = ba_mod._build_normal_blocks_ell(
+                    p, ell, r, Jc, Jp, w, cam_only=True
+                )
+                V, bp, ptg = ba_mod._build_pt_blocks_native(p, ell, 4.0)
+            else:
+                U, V, bc, bp, ptg = ba_mod._build_normal_blocks_ell(
+                    p, ell, r, Jc, Jp, w, return_pt_gathers=True
+                )
             dx_c, dx_p = ba_mod._schur_solve_ell(
                 p, ell, U, V, bc, bp, Jc, Jp, w, lam, k, 1e-20,
                 pt_gathers=ptg,

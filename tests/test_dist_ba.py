@@ -134,3 +134,49 @@ def test_production_reconstruction_on_mesh_matches_single_device():
     c8 = G.pose_center_np(q8[reg8], t8[reg8])
     # same geometry up to solver round-off (different reduction orders)
     assert ate_rmse(c1, c8) < 1e-3
+
+
+def test_distributed_intrinsics_matches_single_chip():
+    """The distributed LM with the 14-dof tied-intrinsics tangent must
+    recover perturbed focals like the single-device solver (r3 verdict
+    missing#3: --n_devices previously skipped the mesh whenever
+    optimize_intrinsics was set)."""
+    from xrsfm_tpu.optim.ba import pack_camera_major
+    from xrsfm_tpu.utils import camera as C
+
+    p0, s = build_problem(n_cams=6, n_pts=100, noise_px=0.2, seed=48)
+    n_cams = p0.cam_q.shape[0]
+    free, tie = C.intri_free_mask(C.PINHOLE)
+    p0 = dataclasses.replace(
+        p0,
+        cam_kam=jnp.zeros(n_cams, jnp.int32),  # one physical camera
+        fix_intri=jnp.tile(jnp.asarray(~free)[None], (n_cams, 1)),
+        tie_f=jnp.full(n_cams, bool(tie)),
+    )
+    # 3% focal error + pose/point noise
+    intri_bad = np.asarray(p0.cam_intri).copy()
+    intri_bad[:, :2] *= 1.03
+    p_bad = dataclasses.replace(
+        perturb(p0, seed=49), cam_intri=jnp.asarray(intri_bad)
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("obs",))
+    stats = {}
+    p_dist, cost = solve_distributed(
+        mesh, p_bad, max_iters=25, stats=stats, optimize_intrinsics=True
+    )
+    assert np.isfinite(cost)
+    rms_dist = rms_px(p_dist)
+
+    p_pack, ell = pack_camera_major(p_bad)
+    p_single, info = solve_ba(
+        p_pack, BAOptions(max_iters=25, huber_px=4.0,
+                          optimize_intrinsics=True), ell,
+    )
+    rms_single = rms_px(p_single)
+    assert rms_dist < 0.6, rms_dist
+    assert abs(rms_dist - rms_single) < 0.2, (rms_dist, rms_single)
+    # focal recovered within 1% on both paths (true f = 500)
+    f_dist = float(np.asarray(p_dist.cam_intri)[0, 0])
+    f_single = float(np.asarray(p_single.cam_intri)[0, 0])
+    assert abs(f_dist - 500.0) / 500.0 < 0.01, f_dist
+    assert abs(f_single - 500.0) / 500.0 < 0.01, f_single

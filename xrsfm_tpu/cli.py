@@ -84,6 +84,9 @@ def main(argv=None):
     p.add_argument("bin_dir", nargs="?")
     p.add_argument("camera_info_path", nargs="?")
     p.add_argument("output_dir", nargs="?")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard global BA (incl. intrinsics-refining GBA) "
+                        "over this many devices")
 
     p = add("estimate_scale", "AprilTag metric scale")
     p.add_argument("images_dir", nargs="?")
@@ -143,7 +146,8 @@ def _dispatch(args):
     elif args.cmd == "rec_1dsfm":
         from .pipelines import rec_1dsfm as U
 
-        U.main(args.bin_dir, args.camera_info_path, args.output_dir)
+        U.main(args.bin_dir, args.camera_info_path, args.output_dir,
+               n_devices=args.n_devices)
     elif args.cmd == "estimate_scale":
         from .pipelines import estimate_scale as S
 

@@ -198,8 +198,9 @@ def run_ba(
 
     mesh (jax.sharding.Mesh over >1 devices): route the solve through
     the sharded observation-parallel LM (parallel/dist_ba) — the
-    production scale-out path.  Intrinsics-refining solves stay on the
-    single-device solver (the distributed step is pose-only)."""
+    production scale-out path, for pose-only AND intrinsics-refining
+    solves (the distributed step carries the same 14-dof tied-intrinsics
+    tangent as the single-device solver)."""
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
     prob, frames, tracks, ell, n_obs = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
@@ -212,13 +213,13 @@ def run_ba(
     n_mesh_dev = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    if n_mesh_dev > 1 and not optimize_intrinsics:
+    if n_mesh_dev > 1:
         from ..parallel import dist_ba
 
         stats: dict = {}
         sol, _ = dist_ba.solve_distributed(
             mesh, prob, max_iters=opts.max_iters, huber_px=opts.huber_px,
-            stats=stats,
+            stats=stats, optimize_intrinsics=optimize_intrinsics,
         )
         info = dict(
             initial_cost=stats.get("initial_cost", 0.0),

@@ -70,8 +70,9 @@ class MapperOptions:
     # one frame at a time — MaxPoint3dFrameId).  1 = sequential.
     batch_registration: int = 8
     # scale-out: shard GBA/KGBA over this many devices (jax.devices();
-    # 1 = single-device).  Pose-only global solves route through
-    # parallel/dist_ba; LBA and intrinsics-refining solves stay local.
+    # 1 = single-device).  Global solves — pose-only AND intrinsics-
+    # refining — route through parallel/dist_ba; LBA stays local
+    # (small problems, dispatch-bound).
     n_devices: int = 1
     init_id1: int = -1
     init_id2: int = -1

@@ -262,7 +262,8 @@ def kgba(
 ):
     """Keyframe global BA + non-keyframe propagation
     (reference: BASolver::KGBA, ba_solver.cc:640-678).  `mesh` routes
-    the pose-only solve through the sharded LM (parallel/dist_ba)."""
+    the solve (pose-only or intrinsics-refining) through the sharded LM
+    (parallel/dist_ba)."""
     _ensure_fields(m)
     keyframe_selection(m)
     keyframes = [

@@ -105,10 +105,20 @@ class EllIndex:
     Large scatter-adds (segment_sum over the observation table) and
     max-width padding both cost real time on TPU; this layout replaces
     every observation-sized scatter with a dense gather + row reduction
-    (see RowIndex).  Built on the host by build_ell."""
+    (see RowIndex).  Built on the host by build_ell.
+
+    pt_uv/pt_w are OPTIONAL static point-major copies of the pixel
+    observations and base weights (laid down by pack_camera_major).
+    When present, the point-side normal blocks are recomputed natively
+    in the point-major layout (_build_pt_blocks_native) instead of
+    transpose-gathering per-observation Jacobians — the r3 profile's
+    remaining superlinearity at 1M obs.  They mirror obs_uv/obs_w at
+    pack time; callers must not mutate obs_w after packing."""
 
     cam: RowIndex  # camera-major rows
     pt: RowIndex  # point-major rows
+    pt_uv: jax.Array | None = None  # [Rp,Lw,2] static pt-major pixels
+    pt_w: jax.Array | None = None  # [Rp,Lw] static pt-major weights
 
 
 def _build_rows(ids, other_ids, n_seg, O_full, max_width, bucket_lo):
@@ -262,7 +272,18 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8,
         pt_slots = np.full_like(cslots, O2)
     other = np.concatenate([new_cam, np.zeros(1, np.int32)])[pt_slots]
     pt_ri = RowIndex(slots=pt_slots, seg=compact.seg, other=other)
-    return p2, EllIndex(cam=cam_ri, pt=pt_ri)
+    # static point-major copies of (uv, w): the point-side blocks can
+    # then be recomputed in place (per-slot camera params from the small
+    # [C,*] tables, point row-uniform) instead of transpose-gathering
+    # obs-sized Jacobians at the random-gather rate every LM iteration
+    uv2 = np.asarray(p2.obs_uv)
+    w2 = np.asarray(p2.obs_w)
+    pvalid = pt_slots < O2
+    pt_uv = np.zeros(pt_slots.shape + (2,), np.float32)
+    pt_uv[pvalid] = uv2[pt_slots[pvalid]]
+    pt_w = np.zeros(pt_slots.shape, np.float32)
+    pt_w[pvalid] = w2[pt_slots[pvalid]]
+    return p2, EllIndex(cam=cam_ri, pt=pt_ri, pt_uv=pt_uv, pt_w=pt_w)
 
 
 def _gather_obs(a, slots):
@@ -654,7 +675,7 @@ def _cam_colmask(p: BAProblem, with_intri: bool):
 
 def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
                              reduce_fn=None, return_pt_gathers=False,
-                             pt_dtype=jnp.bfloat16):
+                             pt_dtype=jnp.bfloat16, cam_only=False):
     """Scatter-free normal-equation blocks via ELL row gathers.
 
     Equivalent to _build_normal_blocks; every observation-sized
@@ -718,6 +739,8 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     m6 = _cam_colmask(p, D > 6)
     U = U * (m6[:, :, None] * m6[:, None, :])
     bc = bc * m6
+    if cam_only:  # the point side comes from _build_pt_blocks_native
+        return U, bc
 
     Rp, Lw = ell.pt.slots.shape
     Jpg = _gather_rows(Jp16, ell.pt)  # [Rp,Lw,2,3] bf16
@@ -743,6 +766,79 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
         # pt-side gathers dominate the jac+normal phase at 1M obs)
         return U, V, bc, bp, (Jpg, spg)
     return U, V, bc, bp
+
+
+def _build_pt_blocks_native(p: BAProblem, ell: EllIndex, huber_px,
+                            reduce_fn=None, pt_dtype=jnp.bfloat16):
+    """Point-side normal blocks recomputed natively in the point-major
+    ELL layout (requires pack_camera_major's pt_uv/pt_w static tables).
+
+    The r3 profile's remaining large-problem superlinearity was the
+    ~20 B/slot transpose gather of (Jp, w, w·r) from the camera-major
+    table into point order (random-gather rate 1.5-2.5 GB/s vs the
+    ~10 GB/s stream cap here).  This evaluates the projection chain a
+    second time, directly in point order: per-slot camera parameters
+    come from the small [C,*] tables (cache-resident, unlike the
+    obs-sized arrays), the point position is row-uniform (each pt row
+    is one point), and the pixel observation/weight are the static
+    pt-major copies — zero obs-sized random gathers.  The solver is
+    HBM-bound, so recompute-over-gather is the right trade on this
+    chip.
+
+    Returns V [P,3,3], bp [P,3], and (Jpg, spg) satisfying
+    _schur_solve_ell's pt_gathers contract (Jp rows + packed
+    (w, w·r0, w·r1, 0) scalars, both pt_dtype)."""
+    P = p.points.shape[0]
+    red = reduce_fn if reduce_fn is not None else (lambda x: x)
+    g = ell.pt.other  # [Rp,Lw] camera id per slot (0 on padding)
+    seg = ell.pt.seg  # [Rp] point id per row
+    q = p.cam_q[g]
+    t = p.cam_t[g]
+    intri = p.cam_intri[g]
+    xyz = p.points[seg]  # [Rp,3] row-uniform
+    R = G.quat_to_rotmat(q)  # [Rp,Lw,3,3]
+    # broadcast multiply+sum, NOT einsum: MXU bf16 passes corrupt
+    # world-scale coordinates (see _row_project)
+    pc = jnp.sum(R * xyz[:, None, None, :], axis=-1) + t
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = pc[..., :2] / zs[..., None]
+    pix = Cam.normalized_to_image(intri, proj)
+    r = pix - ell.pt_uv
+    _, w = _robust_cost_and_weight(r, z, ell.pt_w, huber_px)
+    # same analytic chain as _residuals_and_jacobians_rows, with the
+    # camera factors at slot rank (cameras differ within a pt row)
+    f2 = intri[..., :2]
+    Jd = Cam.distort_jacobian(intri, proj)  # [Rp,Lw,2,2]
+    A = f2[..., :, None] * Jd
+    inv_z = 1.0 / zs
+    B01 = A * inv_z[..., None, None]
+    B2 = -(
+        A[..., 0] * pc[..., None, 0] + A[..., 1] * pc[..., None, 1]
+    ) * (inv_z * inv_z)[..., None]
+    B = jnp.concatenate([B01, B2[..., None]], axis=-1)  # [Rp,Lw,2,3]
+    Jp = jnp.einsum("rlij,rljk->rlik", B, R)  # [Rp,Lw,2,3]
+    Jpg = Jp.astype(pt_dtype)
+    spg = jnp.concatenate(
+        [w[..., None], r * w[..., None], jnp.zeros_like(w)[..., None]],
+        axis=-1,
+    ).astype(pt_dtype)  # [Rp,Lw,4]
+    Rp, Lw = g.shape
+    A2 = (Jpg * spg[..., 0][..., None, None]).reshape(Rp, Lw * 2, 3)
+    B2r = Jpg.reshape(Rp, Lw * 2, 3)
+    V_rows = jnp.einsum(
+        "rki,rkj->rij", A2, B2r, preferred_element_type=jnp.float32
+    )
+    bp_rows = -jnp.einsum(
+        "rki,rk->ri", B2r, spg[..., 1:3].reshape(Rp, Lw * 2),
+        preferred_element_type=jnp.float32,
+    )
+    V = red(jax.ops.segment_sum(V_rows, seg, num_segments=P))
+    bp = red(jax.ops.segment_sum(bp_rows, seg, num_segments=P))
+    ptm = (~p.fix_pt).astype(V.dtype)
+    V = V * ptm[:, None, None]
+    bp = bp * ptm[:, None]
+    return V, bp, (Jpg, spg)
 
 
 def _inv2x2(M):
@@ -1203,10 +1299,21 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
             w_full = prob.obs_w
         _, w = _robust_cost_and_weight(r, z, w_full, opts.huber_px)
         if ell is not None:
-            U, V, bc, bp, ptg = _build_normal_blocks_ell(
-                prob, ell, r, Jc, Jp, w, return_pt_gathers=True,
-                pt_dtype=compute_dtype,
-            )
+            if row_native and ell.pt_uv is not None:
+                # camera side from the row-native pass; point side
+                # recomputed natively in point order (no transpose
+                # gather of obs-sized Jacobians)
+                U, bc = _build_normal_blocks_ell(
+                    prob, ell, r, Jc, Jp, w, cam_only=True
+                )
+                V, bp, ptg = _build_pt_blocks_native(
+                    prob, ell, opts.huber_px, pt_dtype=compute_dtype
+                )
+            else:
+                U, V, bc, bp, ptg = _build_normal_blocks_ell(
+                    prob, ell, r, Jc, Jp, w, return_pt_gathers=True,
+                    pt_dtype=compute_dtype,
+                )
             dx_c, dx_p = _schur_solve_ell(
                 prob, ell, U, V, bc, bp, Jc, Jp, w, lam,
                 opts.cg_iters, opts.cg_tol,

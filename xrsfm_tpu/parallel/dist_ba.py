@@ -101,13 +101,22 @@ def build_sharded_ell(p: BAProblem, n_shards: int,
 
 
 def make_distributed_lm_step(mesh: Mesh, axis="obs",
-                             cg_iters: int = 50, cg_tol: float = 1e-6):
+                             cg_iters: int = 50, cg_tol: float = 1e-6,
+                             optimize_intrinsics: bool = False):
     """Build a jitted distributed LM step.
 
     Returns step(problem, ell_stacked, lam, huber_px) ->
     (new_problem, new_lam, cost, accepted).  The observation arrays and
     the stacked ELL tables must be sharded over `axis`; cameras and
     points are replicated.
+
+    optimize_intrinsics extends the camera tangent to 14 dof (pose +
+    tied-intrinsics, reference: GBA frees camera_param per physical
+    camera, ba_solver.cc:330-356) — the problem must carry
+    cam_kam/fix_intri/tie_f (replicated; build_problem sets them).  The
+    kam-block reductions inside the Schur solve act on the already
+    psum-reduced [C,...] blocks, so the sharded path needs no extra
+    collectives.
 
     `axis` may be a single mesh axis name or a tuple of names — passing
     ("dcn", "ici") from make_pod_mesh shards the observation table over
@@ -139,7 +148,9 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
             obs_w=obs_w,
         )
         red = lambda x: jax.lax.psum(x, axes)  # noqa: E731
-        r, z, Jc, Jp = ba_mod._residuals_and_jacobians(local)
+        r, z, Jc, Jp = ba_mod._residuals_and_jacobians(
+            local, with_intri=optimize_intrinsics
+        )
         cost_l, w = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
         cost = jax.lax.psum(cost_l, axes)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(
@@ -188,6 +199,7 @@ def solve_distributed(
     huber_px: float = 4.0,
     axis="obs",
     stats: dict | None = None,
+    optimize_intrinsics: bool = False,
 ):
     """Host-looped distributed LM solve (each iteration is one jitted
     distributed step).  `axis` may name one mesh axis or a tuple such as
@@ -218,11 +230,31 @@ def solve_distributed(
         fix_cam=jax.device_put(prob.fix_cam, rep),
         fix_trans=jax.device_put(prob.fix_trans, rep),
         fix_pt=jax.device_put(prob.fix_pt, rep),
+        cam_kam=(
+            jax.device_put(prob.cam_kam, rep)
+            if prob.cam_kam is not None else None
+        ),
+        fix_intri=(
+            jax.device_put(prob.fix_intri, rep)
+            if prob.fix_intri is not None else None
+        ),
+        tie_f=(
+            jax.device_put(prob.tie_f, rep)
+            if prob.tie_f is not None else None
+        ),
     )
     ell_st = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), ell_st
     )
-    step = make_distributed_lm_step(mesh, axis=axes)
+    if optimize_intrinsics and (
+        prob.cam_kam is None or prob.fix_intri is None
+    ):
+        raise ValueError(
+            "optimize_intrinsics requires cam_kam/fix_intri on the problem"
+        )
+    step = make_distributed_lm_step(
+        mesh, axis=axes, optimize_intrinsics=optimize_intrinsics
+    )
     lam = jnp.asarray(lam0, jnp.float32)
     cost = None
     for it in range(max_iters):

@@ -15,7 +15,8 @@ from ..utils import io_colmap as IOC
 from . import run_reconstruction as RR
 
 
-def main(bin_dir: str, camera_info_path: str, output_dir: str):
+def main(bin_dir: str, camera_info_path: str, output_dir: str,
+         n_devices: int = 1):
     t0 = time.time()
     name2cid, cams = IOC.read_camera_info(camera_info_path)
     m = RR.build_map(
@@ -43,6 +44,9 @@ def main(bin_dir: str, camera_info_path: str, output_dir: str):
     opts.reg = dataclasses.replace(
         opts.reg, focal_scales=(0.85, 0.925, 1.0, 1.08, 1.16)
     )
+    # scale-out: global solves (incl. the intrinsics-refining GBA this
+    # pipeline always runs) shard over the mesh via parallel/dist_ba
+    opts.n_devices = n_devices
     mapper = IncrementalMapper(opts)
     ok = mapper.reconstruct(m)
     if not ok:
