@@ -119,6 +119,12 @@ class EllIndex:
     pt: RowIndex  # point-major rows
     pt_uv: jax.Array | None = None  # [Rp,Lw,2] static pt-major pixels
     pt_w: jax.Array | None = None  # [Rp,Lw] static pt-major weights
+    # position of each camera-major slot in the FLAT point-major order
+    # (sentinel Rp*Lw for padding slots) — the reverse of pt.slots; lets
+    # the Schur solve move tiny per-slot blocks computed point-major
+    # (where Z's factors are row-uniform) back into camera rows at
+    # 4-8 B/slot instead of gathering point-sized tables at 12-18 B/slot
+    pt_pos: jax.Array | None = None  # [Rc,Mc] int32
 
 
 def _build_rows(ids, other_ids, n_seg, O_full, max_width, bucket_lo):
@@ -283,7 +289,15 @@ def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8,
     pt_uv[pvalid] = uv2[pt_slots[pvalid]]
     pt_w = np.zeros(pt_slots.shape, np.float32)
     pt_w[pvalid] = w2[pt_slots[pvalid]]
-    return p2, EllIndex(cam=cam_ri, pt=pt_ri, pt_uv=pt_uv, pt_w=pt_w)
+    # reverse map: camera-major slot -> flat point-major position
+    npt = pt_slots.size
+    flat_pt = pt_slots.reshape(-1)
+    inv = np.full(O2, npt, np.int32)  # sentinel for padding slots
+    src = np.nonzero(flat_pt < O2)[0]
+    inv[flat_pt[src]] = src.astype(np.int32)
+    pt_pos = inv.reshape(Rc, Mc)
+    return p2, EllIndex(cam=cam_ri, pt=pt_ri, pt_uv=pt_uv, pt_w=pt_w,
+                        pt_pos=pt_pos)
 
 
 def _gather_obs(a, slots):
@@ -935,15 +949,29 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     Rc, Mc = ell.cam.slots.shape
     Rp, Lw = ell.pt.slots.shape
     row_native = Jc.ndim == 4
+    # pt-major Z mode: Z's factors (L, the fix_pt mask, w) are all
+    # row-uniform in the POINT-major layout, so Z lives only there (Zpt)
+    # and the camera-side products gather tiny per-slot results
+    # (b = Z·z [2], Gz = Z·Zᵀ [2,2]) back through the reverse map
+    # ell.pt_pos at 4-8 B/slot — the camera-major Z build (an 18 B/slot
+    # random gather of L plus a 12 B/slot Z write) and the per-matvec
+    # 12 B/slot point-vector gathers disappear entirely (they were the
+    # dominant Schur-setup traffic at 1M obs, r4 profile).
+    pt_major = (
+        row_native and pt_gathers is not None and ell.pt_pos is not None
+    )
     if row_native:  # [Rc,Mc,2,D] (packed table)
-        wm = (w * ptm[ell.cam.other]).astype(cd)  # [Rc,Mc]
-        Lg = L.astype(cd)[ell.cam.other]  # [Rc,Mc,3,3]
-        Z = (
-            jnp.einsum("...ij,...jk->...ik", Jp.astype(cd), Lg)
-            * wm[..., None, None]
-        )  # [Rc,Mc,2,3]
         m6g = _cam_colmask(p, with_intri).astype(cd)[ell.cam.seg]  # [Rc,D]
         Jc16 = Jc.astype(cd) * m6g[:, None, None, :]  # [Rc,Mc,2,D]
+        if pt_major:
+            Z = None  # never materialized camera-major
+        else:
+            wm = (w * ptm[ell.cam.other]).astype(cd)  # [Rc,Mc]
+            Lg = L.astype(cd)[ell.cam.other]  # [Rc,Mc,3,3]
+            Z = (
+                jnp.einsum("...ij,...jk->...ik", Jp.astype(cd), Lg)
+                * wm[..., None, None]
+            )  # [Rc,Mc,2,3]
         Zpt = None  # built below (reusing the normal-block gathers)
         Jc_flat = None
     else:
@@ -1035,8 +1063,15 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
 
     def _ycam_reduce(zp):
         """t[c] = Σ_{o∈c} Y_o z_{pt(o)} = Σ Jc_oᵀ (Z_o z)  → [C,D]"""
-        zg = zp[pt_ids].astype(cd)  # [Rc,Mc,3]
-        b = jnp.einsum("rmik,rmk->rmi", Z, zg)  # [Rc,Mc,2]
+        if pt_major:
+            # z is ROW-uniform point-major; only the [2]-vector result
+            # crosses the layouts (4 B/slot vs the 12 B/slot zp gather)
+            zrow = zp[ell.pt.seg].astype(cd)  # [Rp,3]
+            b_pt = jnp.einsum("rlik,rk->rli", Zpt, zrow)  # [Rp,Lw,2]
+            b = _gather_obs(b_pt.reshape(-1, 2), ell.pt_pos)  # [Rc,Mc,2]
+        else:
+            zg = zp[pt_ids].astype(cd)  # [Rc,Mc,3]
+            b = jnp.einsum("rmik,rmk->rmi", Z, zg)  # [Rc,Mc,2]
         trow = jnp.einsum(
             "rmid,rmi->rd", Jc16, b, preferred_element_type=jnp.float32
         )
@@ -1054,9 +1089,18 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ with
     # Y Yᵀ = Jcᵀ (Z Zᵀ) Jc — the tiny [2,2] Gram of Z per slot keeps the
     # whole product in the factored space
-    Gz = jnp.einsum(
-        "rmik,rmjk->rmij", Z, Z, preferred_element_type=jnp.float32
-    )  # [Rc,Mc,2,2]
+    if pt_major:
+        Gz_pt = jnp.einsum(
+            "rlik,rljk->rlij", Zpt, Zpt,
+            preferred_element_type=jnp.float32,
+        )  # [Rp,Lw,2,2]
+        Gz = _gather_obs(
+            Gz_pt.astype(cd).reshape(-1, 2, 2), ell.pt_pos
+        )  # [Rc,Mc,2,2]
+    else:
+        Gz = jnp.einsum(
+            "rmik,rmjk->rmij", Z, Z, preferred_element_type=jnp.float32
+        )  # [Rc,Mc,2,2]
     Hz = jnp.einsum(
         "rmij,rmjd->rmid", Gz.astype(cd), Jc16,
         preferred_element_type=jnp.float32,

@@ -88,11 +88,9 @@ def build_sharded_ell(p: BAProblem, n_shards: int,
             slots[i, :r, :m] = np.asarray(s.slots)
             seg[i, :r] = np.asarray(s.seg)
             other[i, :r, :m] = np.asarray(s.other)
-        return RowIndex(
-            slots=jnp.asarray(slots),
-            seg=jnp.asarray(seg),
-            other=jnp.asarray(other),
-        )
+        # numpy leaves: placement happens in solve_distributed via
+        # _put_global (multi-process-safe)
+        return RowIndex(slots=slots, seg=seg, other=other)
 
     return EllIndex(
         cam=stack_side([e.cam for e in ells]),
@@ -191,6 +189,19 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
     return step
 
 
+def _put_global(a, sharding):
+    """Place a host array under `sharding`, multi-process-safe.
+
+    jax.device_put cannot target non-addressable devices; on a
+    multi-process (pod) mesh each process materializes only its
+    addressable shards from the (replicated-on-every-host) numpy array.
+    Single-process behavior is identical to device_put."""
+    a = np.asarray(a)
+    return jax.make_array_from_callback(
+        a.shape, sharding, lambda idx: a[idx]
+    )
+
+
 def solve_distributed(
     mesh: Mesh,
     prob: BAProblem,
@@ -219,32 +230,32 @@ def solve_distributed(
     rep = NamedSharding(mesh, P())
     prob = dataclasses.replace(
         prob,
-        obs_uv=jax.device_put(prob.obs_uv, sharding),
-        obs_cam=jax.device_put(prob.obs_cam, sharding),
-        obs_pt=jax.device_put(prob.obs_pt, sharding),
-        obs_w=jax.device_put(prob.obs_w, sharding),
-        cam_q=jax.device_put(prob.cam_q, rep),
-        cam_t=jax.device_put(prob.cam_t, rep),
-        cam_intri=jax.device_put(prob.cam_intri, rep),
-        points=jax.device_put(prob.points, rep),
-        fix_cam=jax.device_put(prob.fix_cam, rep),
-        fix_trans=jax.device_put(prob.fix_trans, rep),
-        fix_pt=jax.device_put(prob.fix_pt, rep),
+        obs_uv=_put_global(prob.obs_uv, sharding),
+        obs_cam=_put_global(prob.obs_cam, sharding),
+        obs_pt=_put_global(prob.obs_pt, sharding),
+        obs_w=_put_global(prob.obs_w, sharding),
+        cam_q=_put_global(prob.cam_q, rep),
+        cam_t=_put_global(prob.cam_t, rep),
+        cam_intri=_put_global(prob.cam_intri, rep),
+        points=_put_global(prob.points, rep),
+        fix_cam=_put_global(prob.fix_cam, rep),
+        fix_trans=_put_global(prob.fix_trans, rep),
+        fix_pt=_put_global(prob.fix_pt, rep),
         cam_kam=(
-            jax.device_put(prob.cam_kam, rep)
+            _put_global(prob.cam_kam, rep)
             if prob.cam_kam is not None else None
         ),
         fix_intri=(
-            jax.device_put(prob.fix_intri, rep)
+            _put_global(prob.fix_intri, rep)
             if prob.fix_intri is not None else None
         ),
         tie_f=(
-            jax.device_put(prob.tie_f, rep)
+            _put_global(prob.tie_f, rep)
             if prob.tie_f is not None else None
         ),
     )
     ell_st = jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, sharding), ell_st
+        lambda a: _put_global(a, sharding), ell_st
     )
     if optimize_intrinsics and (
         prob.cam_kam is None or prob.fix_intri is None
