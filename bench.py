@@ -27,7 +27,7 @@ import numpy as np
 
 
 def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0,
-                    cam_width=256, pt_width=32):
+                    cam_width=128, pt_width=32):
     """Synthetic KITTI-scale BA problem; returns (packed problem, ell,
     n_obs).  Shared by bench_ba and scripts/profile_ba.py."""
     import jax.numpy as jnp
@@ -97,7 +97,7 @@ def make_ba_problem(n_cams=200, n_pts=20000, obs_per_pt=7, seed=0,
 
 
 def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0,
-             cg_iters=2, cam_width=256):
+             cg_iters=2, cam_width=128):
     import jax
     import jax.numpy as jnp
 

@@ -76,7 +76,8 @@ def prep(ws):
     SNAP.save_snapshot(m, os.path.join(ws, "drifted.npz"))
 
 
-def exp(ws, rounds, parallax, ta_rounds=6, meas_cache=None):
+def exp(ws, rounds, parallax, ta_rounds=6, meas_cache=None,
+        rot_freeze=False):
     from xrsfm_tpu import enable_compilation_cache
     from xrsfm_tpu.base import snapshot as SNAP
     from xrsfm_tpu.mapper import ba_glue, triangulate
@@ -112,6 +113,17 @@ def exp(ws, rounds, parallax, ta_rounds=6, meas_cache=None):
         polish = BAOptions(max_iters=2 * o.gba_iters, huber_px=4.0,
                            precise=True)
         reg_frames = list(np.nonzero(m.registered)[0])
+        if rot_freeze:
+            # settle translations+structure under the AVERAGED rotations
+            # first (rotation averaging is the reliable half of the
+            # rewrite; a free GBA from rewritten poses can slide back
+            # into the drift basin through the rotation directions)
+            res = ba_glue.run_ba(m, reg_frames, polish,
+                                 freeze_rotations=True)
+            print(f"  GBA rot-frozen: {res.initial_cost:.1f} -> "
+                  f"{res.final_cost:.1f}")
+            ate, span, n = _ate(m, ws)
+            print(f"  after rot-frozen settle: ATE {100*ate/span:.3f}%")
         for _g in range(2):
             res = ba_glue.run_ba(m, reg_frames, polish)
             print(f"  GBA: {res.initial_cost:.1f} -> {res.final_cost:.1f}")
@@ -135,11 +147,14 @@ def main():
     ap.add_argument("ws")
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--parallax", default="off", choices=["off", "lin", "sq"])
+    ap.add_argument("--rot_freeze", action="store_true",
+                    help="settle translations/structure under the "
+                         "averaged rotations before the free GBA rounds")
     args = ap.parse_args()
     if args.phase == "prep":
         prep(args.ws)
     else:
-        exp(args.ws, args.rounds, args.parallax)
+        exp(args.ws, args.rounds, args.parallax, rot_freeze=args.rot_freeze)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--pts", type=int, default=20000)
     ap.add_argument("--obs_per_pt", type=int, default=7)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--cam_width", type=int, default=256)
+    ap.add_argument("--cam_width", type=int, default=128)
     ap.add_argument("--pt_width", type=int, default=32)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

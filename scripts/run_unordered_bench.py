@@ -31,6 +31,17 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--workdir", default="/tmp/unordered_bench")
     ap.add_argument("--cpu", action="store_true")
+    # matching-only mode for the expansion-vs-retrieval COST CURVE at
+    # reference scale (the reference's published wins are 5-28x at
+    # 339-7,725 images, docs/en/benchmark.md:98-114; the win must GROW
+    # with frame count as retrieval's candidate set explodes)
+    ap.add_argument("--matching_only", action="store_true")
+    # unregistrable junk frames — the dominant population of real 1DSfM
+    # collections (Alamo: 571 registered of 2,915).  Retrieval top-k is
+    # rank-based so junk images still cost 25 verifications each; the
+    # expansion's simulated-SfM gate skips them.  0 = the (unrealistic)
+    # all-registrable scene.
+    ap.add_argument("--distractors", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -48,51 +59,64 @@ def main():
     ws = os.path.join(args.workdir, "ws")
     shutil.rmtree(args.workdir, ignore_errors=True)
     sf.main(ws, scene="unordered", n_frames=args.n_frames, seed=args.seed,
-            per_image_cameras=True, descriptors=True)
+            per_image_cameras=True, descriptors=True,
+            distractors=args.distractors)
+    n_total = args.n_frames + args.distractors
 
-    # GT covisibility (for pair precision/recall)
+    # GT covisibility (for pair precision/recall) — mirrors sf.main's
+    # generation order exactly (same seed, same rng consumption)
     rng = np.random.default_rng(args.seed)
-    centers, R, pts = sf.unordered_scene(rng, args.n_frames)
-    focals = rng.uniform(430.0, 570.0, args.n_frames)
-    k1s = rng.uniform(-0.08, 0.04, args.n_frames)
+    centers, R, pts = sf.unordered_scene(
+        rng, args.n_frames, n_distractors=args.distractors
+    )
+    focals = rng.uniform(430.0, 570.0, n_total)
+    k1s = rng.uniform(-0.08, 0.04, n_total)
     frames_obs = sf.project_all(centers, R, pts, rng, focals=focals, k1s=k1s)
-    from collections import defaultdict
-
-    pt2f = defaultdict(set)
+    # GT covisibility counts as one visibility-matrix Gram product
+    # (per-point python pair loops are O(P * f^2) and explode at 1000
+    # frames)
+    n_pts_total = len(pts)
+    V = np.zeros((n_total, n_pts_total), np.float32)
     for f, (ids, _) in enumerate(frames_obs):
-        for pid in ids:
-            pt2f[int(pid)].add(f)
-    cnt = defaultdict(int)
-    for pid, fs in pt2f.items():
-        fs = sorted(fs)
-        for i in range(len(fs)):
-            for j in range(i + 1, len(fs)):
-                cnt[(fs[i], fs[j])] += 1
-    n_gt = sum(1 for v in cnt.values() if v >= 30)
+        V[f, np.asarray(ids, np.int64)] = 1.0
+    Cm = V @ V.T  # [F,F] co-observation counts
+    np.fill_diagonal(Cm, 0)
+    n_gt = int(np.count_nonzero(np.triu(Cm >= 30, k=1)))
+
+    def gt_covis(i, j):
+        return Cm[i, j]
 
     from xrsfm_tpu.pipelines import run_matching as RM
 
-    result = {"frames": args.n_frames, "gt_pairs": n_gt, "matching": {}}
+    result = {"frames": args.n_frames, "distractors": args.distractors,
+              "gt_pairs": n_gt, "matching": {}}
     for mtype in ("retrieval", "covisibility"):
         d = os.path.join(args.workdir, mtype)
         os.makedirs(os.path.join(d, "images"), exist_ok=True)
         shutil.copy(os.path.join(ws, "ftr.bin"), d)
         shutil.copy(os.path.join(ws, "size.bin"), d)
-        for i in range(args.n_frames):
+        for i in range(n_total):
             open(os.path.join(d, "images", f"img{i:05d}.png"), "w").close()
         t0 = time.time()
-        verified = RM.main(os.path.join(d, "images"), "", mtype, d)
+        stats = {}
+        verified = RM.main(os.path.join(d, "images"), "", mtype, d,
+                           stats=stats)
         dt = time.time() - t0
-        good = sum(
-            1 for p in verified
-            if cnt.get((min(p.id1, p.id2), max(p.id1, p.id2)), 0) >= 30
-        )
+        good = sum(1 for p in verified if gt_covis(p.id1, p.id2) >= 30)
         result["matching"][mtype] = {
+            "pairs_proposed": stats.get("pairs_proposed", -1),
             "verified_pairs": len(verified),
             "precision": round(good / max(len(verified), 1), 4),
             "recall": round(good / max(n_gt, 1), 4),
             "wall_s": round(dt, 1),
         }
+
+    if args.matching_only:
+        r = result["matching"]["retrieval"]["wall_s"]
+        c = result["matching"]["covisibility"]["wall_s"]
+        result["expansion_speedup"] = round(r / max(c, 1e-9), 2)
+        print(json.dumps(result), flush=True)
+        return
 
     # reconstruction from the covisibility-matched pairs
     from xrsfm_tpu.ops.umeyama import ate_rmse
@@ -131,6 +155,7 @@ def main():
     span = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
     result["reconstruction"] = {
         "registered": int(reg.sum()),
+        "registerable": args.n_frames,  # genuine frames (junk excluded)
         "ate_pct_span": round(100.0 * ate / span, 3),
         "focal_med_err": round(float(np.median(errs)), 4),
         "focal_mean_err": round(float(errs.mean()), 4),

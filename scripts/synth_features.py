@@ -83,12 +83,21 @@ def kitti_scene(rng, n_frames, step=0.5):
     return centers, R, pts
 
 
-def unordered_scene(rng, n_frames, half=14.0):
+def unordered_scene(rng, n_frames, half=14.0, n_distractors=0):
     """Landmark ring (the actual 1DSfM regime — internet photos of one
     central landmark, e.g. Alamo/NYC_Library): cameras scattered on an
     annulus looking INWARD at a central building, yaw jittered.  Nearby
     viewpoints overlap heavily (dense covisibility, long tracks); views
-    from opposite sides connect around the ring."""
+    from opposite sides connect around the ring.
+
+    n_distractors appends UNREGISTRABLE junk frames — the dominant
+    population of real 1DSfM collections (Alamo registers 571 of 2,915
+    images, reference docs/en/benchmark.md:98-114).  Each distractor
+    looks at its own private far-away clutter cluster, sharing no
+    structure with the landmark or with other distractors — retrieval
+    still ranks neighbors for them (top-k is rank-based, not
+    score-gated), which is exactly the wasted matching work the
+    reference's covisibility expansion exists to avoid."""
     ang = rng.uniform(0, 2 * np.pi, n_frames)
     rad = rng.uniform(0.55 * half, 1.15 * half, n_frames)
     centers = np.zeros((n_frames, 3))
@@ -132,7 +141,34 @@ def unordered_scene(rng, n_frames, half=14.0):
     gr[:, 2] = rr * np.sin(aa)
     gr[:, 1] = rng.uniform(-1.2, -0.8, n_ground)
     pts.append(gr)
-    return centers, R, np.concatenate(pts)
+    pts_all = np.concatenate(pts)
+    if n_distractors:
+        dc = np.zeros((n_distractors, 3))
+        dR = np.zeros((n_distractors, 3, 3))
+        dpts = []
+        for i in range(n_distractors):
+            # cluster centers scattered over a huge shell (radius
+            # 30-90x the ring) so no two clusters — and no cluster and
+            # the landmark — fall inside one camera's 40-unit depth
+            # range; the camera sits a few units back looking at it
+            th = rng.uniform(0, 2 * np.pi)
+            el = rng.uniform(-1.0, 1.0)
+            rad = half * rng.uniform(30.0, 90.0)
+            dirv = np.array([
+                np.cos(el) * np.cos(th), np.sin(el),
+                np.cos(el) * np.sin(th),
+            ])
+            cluster = rad * dirv
+            cam = cluster - dirv * rng.uniform(6.0, 12.0) + rng.normal(
+                scale=0.5, size=3
+            )
+            dc[i] = cam
+            dR[i] = look_at_R(cam, cluster)
+            dpts.append(cluster + rng.normal(scale=1.5, size=(300, 3)))
+        centers = np.concatenate([centers, dc])
+        R = np.concatenate([R, dR])
+        pts_all = np.concatenate([pts_all] + dpts)
+    return centers, R, pts_all
 
 
 def project_all(centers, R, pts, rng, max_kp=700, z_range=(1.0, 40.0),
@@ -274,7 +310,8 @@ def build_pairs(frames_obs, n_frames, kind, rng, min_shared=30,
 
 
 def main(out_dir, scene="kitti", n_frames=1000, seed=0,
-         per_image_cameras=False, focal_noise=0.08, descriptors=False):
+         per_image_cameras=False, focal_noise=0.08, descriptors=False,
+         distractors=0):
     """per_image_cameras: the 1DSfM regime — every frame gets its own
     SIMPLE_RADIAL camera (true focal U[430,570], k1 U[-0.08,0.04]);
     camera_info.txt carries EXIF-like focals perturbed by
@@ -290,7 +327,9 @@ def main(out_dir, scene="kitti", n_frames=1000, seed=0,
     if scene == "kitti":
         centers, R, pts = kitti_scene(rng, n_frames)
     else:
-        centers, R, pts = unordered_scene(rng, n_frames)
+        centers, R, pts = unordered_scene(rng, n_frames,
+                                          n_distractors=distractors)
+    n_frames = len(centers)  # includes distractor frames
     focals = k1s = None
     if per_image_cameras:
         focals = rng.uniform(430.0, 570.0, n_frames)
@@ -363,7 +402,12 @@ if __name__ == "__main__":
     ap.add_argument("--focal_noise", type=float, default=0.08)
     ap.add_argument("--descriptors", action="store_true",
                     help="synthesize matchable descriptors + size.bin")
+    ap.add_argument("--distractors", type=int, default=0,
+                    help="unordered scene: append this many unregistrable "
+                         "junk frames (the dominant population of real "
+                         "1DSfM collections)")
     a = ap.parse_args()
     main(a.out_dir, a.scene, a.n_frames, a.seed,
          per_image_cameras=a.per_image_cameras,
-         focal_noise=a.focal_noise, descriptors=a.descriptors)
+         focal_noise=a.focal_noise, descriptors=a.descriptors,
+         distractors=a.distractors)

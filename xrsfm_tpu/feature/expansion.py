@@ -235,14 +235,21 @@ def covisibility_matching(
     init_topk: int = 5,
     verbose: bool = True,
     mesh=None,
+    stats=None,
 ) -> List[FramePairData]:
     """Full EC-SfM covisibility matching
-    (reference: run_matching.cc "covisibility" branch + ExpansionAndMatching)."""
+    (reference: run_matching.cc "covisibility" branch + ExpansionAndMatching).
+
+    stats (optional dict) accumulates pairs_proposed (seeds + every
+    expansion candidate actually matched+verified)."""
+    n_proposed = 0
     # seed pairs: top-k retrieval (cached like fp_init.bin)
     if init_pairs_path and os.path.exists(init_pairs_path):
         verified = read_frame_pairs(init_pairs_path)
+        n_proposed += len(fmatch.retrieval_pairs(id2rank, init_topk))
     else:
         seed_pairs = fmatch.retrieval_pairs(id2rank, init_topk)
+        n_proposed += len(seed_pairs)
         verified = fmatch.match_and_verify_pairs(
             features, seed_pairs, opts, verbose=verbose, mesh=mesh
         )
@@ -275,6 +282,7 @@ def covisibility_matching(
             )
         if not cands:
             break
+        n_proposed += len(cands)
         new_pairs = fmatch.match_and_verify_pairs(
             features, cands, opts, verbose=verbose, mesh=mesh
         )
@@ -289,4 +297,6 @@ def covisibility_matching(
                 f"verified (precision {precision:.2f})",
                 flush=True,
             )
+    if stats is not None:
+        stats["pairs_proposed"] = n_proposed
     return verified

@@ -66,6 +66,7 @@ def build_problem(
     gauge_frames: Optional[Sequence[int]] = None,
     obs_frames: Optional[Sequence[int]] = None,
     freeze_tracks: Optional[np.ndarray] = None,
+    freeze_rotations: bool = False,
 ):
     """Build a padded BAProblem.  Frames not in opt_frames (but observing
     shared tracks) enter with frozen poses — the reference holds non-local
@@ -174,6 +175,9 @@ def build_problem(
         cam_kam=cam_kam,
         fix_intri=fix_intri,
         tie_f=tie_f,
+        # rotation-only freeze: a settling solve can keep globally-
+        # averaged rotations while translations/points re-fit
+        fix_rot=np.ones(C, bool) if freeze_rotations else None,
     )
     # camera-major packing: camera-side ELL gathers become reshapes
     prob, ell = pack_camera_major(prob, n_valid=n_obs)
@@ -188,6 +192,7 @@ def run_ba(
     obs_frames: Optional[Sequence[int]] = None,
     optimize_intrinsics: bool = False,
     freeze_tracks: Optional[np.ndarray] = None,
+    freeze_rotations: bool = False,
     mesh=None,
 ) -> Optional[BAGlueResult]:
     """Build, solve, write back.
@@ -205,6 +210,7 @@ def run_ba(
     prob, frames, tracks, ell, n_obs = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
         obs_frames=obs_frames, freeze_tracks=freeze_tracks,
+        freeze_rotations=freeze_rotations,
     )
     if prob is None:
         return None

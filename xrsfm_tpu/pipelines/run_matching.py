@@ -125,7 +125,11 @@ def main(
     output_dir: str,
     opts: Optional[fmatch.MatchingOptions] = None,
     n_devices: int = 1,
+    stats: Optional[dict] = None,
 ):
+    """stats (optional dict) receives pairs_proposed — the number of
+    candidate pairs descriptor-matched+verified, the matching stage's
+    actual cost driver (benchmarks compare strategies by it)."""
     opts = opts or fmatch.MatchingOptions()
     mesh = None
     if n_devices > 1:
@@ -179,9 +183,13 @@ def main(
                 if abs(i - j) >= opts.seq_window:
                     pairs.append((min(i, j), max(i, j)))
         pairs = sorted(set(pairs))
+        if stats is not None:
+            stats["pairs_proposed"] = len(pairs)
         verified = fmatch.match_and_verify_pairs(feats, pairs, opts, mesh=mesh)
     elif matching_type == "retrieval":
         pairs = fmatch.retrieval_pairs(id2rank, opts.retrieval_topk)
+        if stats is not None:
+            stats["pairs_proposed"] = len(pairs)
         verified = fmatch.match_and_verify_pairs(feats, pairs, opts, mesh=mesh)
     elif matching_type == "covisibility":
         from ..feature.expansion import covisibility_matching
@@ -189,7 +197,7 @@ def main(
         verified = covisibility_matching(
             feats, id2rank, opts,
             init_pairs_path=os.path.join(output_dir, "fp_init.bin"),
-            mesh=mesh,
+            mesh=mesh, stats=stats,
         )
     else:
         raise ValueError(f"unknown matching type {matching_type}")
