@@ -113,9 +113,14 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0,
         w_row = p.obs_w.reshape(ell.cam.slots.shape)
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
         cost, w = ba_mod._robust_cost_and_weight(r, z, w_row, 4.0)
-        U, V, bc, bp, ptg = ba_mod._build_normal_blocks_ell(
-            p, ell, r, Jc, Jp, w, return_pt_gathers=True
+        # production path (solve_ba): camera side from the row-native
+        # pass; point side recomputed natively in point order — no
+        # transpose gather of obs-sized Jacobians; √w-scaled Jcw shared
+        # with the Schur solve (weighted-operand mode)
+        U, bc, camw = ba_mod._build_normal_blocks_ell(
+            p, ell, r, Jc, Jp, w, cam_only=True, return_cam_w=True
         )
+        V, bp, ptg = ba_mod._build_pt_blocks_native(p, ell, 4.0)
         # truncated inexact Newton: 2 PCG iterations on the reduced camera
         # system reach the same 30-step final cost as 3, 4, 6, 12 or 50
         # on this problem (measured r3 on-chip: 54553/54553/54542 for cg
@@ -123,7 +128,7 @@ def bench_ba(n_cams=200, n_pts=20000, obs_per_pt=7, iters=30, seed=0,
         # outer loop absorbs the looser inner solves.
         dx_c, dx_p = ba_mod._schur_solve_ell(
             p, ell, U, V, bc, bp, Jc, Jp, w, lam, cg_iters, 1e-2,
-            pt_gathers=ptg,
+            pt_gathers=ptg, cam_w=camw,
         )
         cand = ba_mod._apply_step(p, dx_c, dx_p)
         r2, z2 = ba_mod._residuals_only_rows(cand, ell)

@@ -128,7 +128,8 @@ def main():
         return p, lam, c + jnp.sum(bc) * 1e-30 + jnp.sum(bp) * 1e-30 + \
             jnp.sum(U) * 1e-30 + jnp.sum(V) * 1e-30
 
-    # --- Schur setup sub-phases (replicates _schur_solve_ell pieces)
+    # --- Schur setup sub-phases (mirrors the PRODUCTION pt-native +
+    # weighted-operand path of solve_ba/_schur_solve_ell)
     def setup_probe(upto):
         def step(p, lam, tick):
             import dataclasses
@@ -139,9 +140,10 @@ def main():
             )
             r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p2, ell)
             c, w = ba_mod._robust_cost_and_weight(r, z, w_row(p2), 4.0)
-            U, V, bc, bp = ba_mod._build_normal_blocks_ell(
-                p2, ell, r, Jc, Jp, w
+            U, bc, Jcw = ba_mod._build_normal_blocks_ell(
+                p2, ell, r, Jc, Jp, w, cam_only=True, return_cam_w=True
             )
+            V, bp, (Jpg, spg) = ba_mod._build_pt_blocks_native(p2, ell, 4.0)
             D = Jc.shape[-1]
             eyeD = jnp.eye(D, dtype=U.dtype)
             eye3 = jnp.eye(3, dtype=U.dtype)
@@ -151,31 +153,45 @@ def main():
             L = ba_mod._chol3x3(Vinv)
             cd = jnp.bfloat16
             ptm = (~p2.fix_pt).astype(w.dtype)
-            wm = (w * ptm[ell.cam.other]).astype(cd)
-            Lg = L.astype(cd)[ell.cam.other]
-            Z = (jnp.einsum("...ij,...jk->...ik", Jp.astype(cd), Lg)
-                 * wm[..., None, None])
-            m6g = ba_mod._cam_colmask(p2, False).astype(cd)[ell.cam.seg]
-            Jc16 = Jc.astype(cd) * m6g[:, None, None, :]
-            out = c + jnp.sum(Z.astype(jnp.float32)) * 1e-30
-            if upto == "Y":
+            C = p2.cam_q.shape[0]
+            P = p2.points.shape[0]
+            L_row = L.astype(cd)[ell.pt.seg]
+            sw = jnp.sqrt(jnp.maximum(spg[..., 0].astype(w.dtype), 0.0))
+            wrow = (sw * ptm[ell.pt.seg][:, None]).astype(cd)
+            Zpt = (jnp.einsum("rlij,rjk->rlik", Jpg, L_row)
+                   * wrow[..., None, None])
+            out = c + jnp.sum(Zpt.astype(jnp.float32)) * 1e-30
+            if upto == "Zpt":
                 return p, lam, out
-            Zpt = ba_mod._gather_obs(Z.reshape(-1, 2, 3), ell.pt.slots)
-            out = out + jnp.sum(Zpt.astype(jnp.float32)) * 1e-30
-            if upto == "Ypt":
+            m6post = ba_mod._cam_colmask(p2, False)
+            u = jnp.einsum("pji,pj->pi", L, bp)
+            zrow = u[ell.pt.seg].astype(cd)
+            b_pt = jnp.einsum("rlik,rk->rli", Zpt, zrow)
+            b = ba_mod._gather_obs(b_pt.reshape(-1, 2), ell.pt_pos)
+            trow = jnp.einsum("rmid,rmi->rd", Jcw, b,
+                              preferred_element_type=jnp.float32)
+            rhs = bc - jax.ops.segment_sum(
+                trow, ell.cam.seg, num_segments=C
+            ) * m6post
+            out = out + jnp.sum(rhs) * 1e-30
+            if upto == "rhs":
                 return p, lam, out
             Rc, Mc = ell.cam.slots.shape
-            Gz = jnp.einsum("rmik,rmjk->rmij", Z, Z)
-            Hz = jnp.einsum("rmij,rmjd->rmid", Gz, Jc16)
+            Gz_pt = jnp.einsum("rlik,rljk->rlij", Zpt, Zpt,
+                               preferred_element_type=jnp.float32)
+            Gz = ba_mod._gather_obs(
+                Gz_pt.astype(cd).reshape(-1, 2, 2), ell.pt_pos
+            )
+            Hz = jnp.einsum("rmij,rmjd->rmid", Gz.astype(cd), Jcw,
+                            preferred_element_type=jnp.float32).astype(cd)
             S_rows = jax.lax.dot_general(
-                Jc16.reshape(Rc, Mc * 2, D), Hz.reshape(Rc, Mc * 2, D),
+                Jcw.reshape(Rc, Mc * 2, D), Hz.reshape(Rc, Mc * 2, D),
                 (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            C = p2.cam_q.shape[0]
-            Sdiag = Ud - jax.ops.segment_sum(
-                S_rows, ell.cam.seg, num_segments=C
-            ) + 1e-7 * eyeD
+            corr = jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C)
+            Sdiag = Ud - corr * (m6post[:, :, None] * m6post[:, None, :])
+            Sdiag = Sdiag + 1e-7 * eyeD
             Minv = ba_mod._inv_spd(Sdiag)
             out = out + jnp.sum(Minv) * 1e-30
             if upto == "Sdiag":
@@ -189,9 +205,10 @@ def main():
         def step(p, lam, tick):
             r, z, Jc, Jp = ba_mod._residuals_and_jacobians_rows(p, ell)
             cost, w = ba_mod._robust_cost_and_weight(r, z, w_row(p), 4.0)
+            camw = None
             if ell.pt_uv is not None:  # mirror solve_ba's dispatch
-                U, bc = ba_mod._build_normal_blocks_ell(
-                    p, ell, r, Jc, Jp, w, cam_only=True
+                U, bc, camw = ba_mod._build_normal_blocks_ell(
+                    p, ell, r, Jc, Jp, w, cam_only=True, return_cam_w=True
                 )
                 V, bp, ptg = ba_mod._build_pt_blocks_native(p, ell, 4.0)
             else:
@@ -200,7 +217,7 @@ def main():
                 )
             dx_c, dx_p = ba_mod._schur_solve_ell(
                 p, ell, U, V, bc, bp, Jc, Jp, w, lam, k, 1e-20,
-                pt_gathers=ptg,
+                pt_gathers=ptg, cam_w=camw,
             )
             cand = ba_mod._apply_step(p, dx_c, dx_p)
             r2, z2 = ba_mod._residuals_only_rows(cand, ell)
@@ -218,7 +235,7 @@ def main():
     out = {}
     out["residuals_ms"] = scan_time(res_step, N) * 1e3
     out["jac_normal_ms"] = scan_time(jn_step, N) * 1e3
-    for upto in ("Y", "Ypt", "Sdiag"):
+    for upto in ("Zpt", "rhs", "Sdiag"):
         out[f"setup_{upto}_ms"] = scan_time(setup_probe(upto), N) * 1e3
     for k in (0, 2, 4, 8):
         out[f"full_cg{k}_ms"] = scan_time(full_step_k(k), N) * 1e3

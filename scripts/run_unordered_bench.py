@@ -42,6 +42,10 @@ def main():
     # expansion's simulated-SfM gate skips them.  0 = the (unrealistic)
     # all-registrable scene.
     ap.add_argument("--distractors", type=int, default=0)
+    # resume mode: reuse the workdir's synth scene + verified pairs
+    # (stage-cache semantics, like the reference's fp.bin reuse) and run
+    # only the reconstruction + evaluation
+    ap.add_argument("--rec_only", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -57,31 +61,35 @@ def main():
     import synth_features as sf
 
     ws = os.path.join(args.workdir, "ws")
-    shutil.rmtree(args.workdir, ignore_errors=True)
-    sf.main(ws, scene="unordered", n_frames=args.n_frames, seed=args.seed,
-            per_image_cameras=True, descriptors=True,
-            distractors=args.distractors)
+    if not args.rec_only:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        sf.main(ws, scene="unordered", n_frames=args.n_frames,
+                seed=args.seed, per_image_cameras=True, descriptors=True,
+                distractors=args.distractors)
     n_total = args.n_frames + args.distractors
 
     # GT covisibility (for pair precision/recall) — mirrors sf.main's
     # generation order exactly (same seed, same rng consumption)
-    rng = np.random.default_rng(args.seed)
-    centers, R, pts = sf.unordered_scene(
-        rng, args.n_frames, n_distractors=args.distractors
-    )
-    focals = rng.uniform(430.0, 570.0, n_total)
-    k1s = rng.uniform(-0.08, 0.04, n_total)
-    frames_obs = sf.project_all(centers, R, pts, rng, focals=focals, k1s=k1s)
-    # GT covisibility counts as one visibility-matrix Gram product
-    # (per-point python pair loops are O(P * f^2) and explode at 1000
-    # frames)
-    n_pts_total = len(pts)
-    V = np.zeros((n_total, n_pts_total), np.float32)
-    for f, (ids, _) in enumerate(frames_obs):
-        V[f, np.asarray(ids, np.int64)] = 1.0
-    Cm = V @ V.T  # [F,F] co-observation counts
-    np.fill_diagonal(Cm, 0)
-    n_gt = int(np.count_nonzero(np.triu(Cm >= 30, k=1)))
+    n_gt = -1
+    if not args.rec_only:
+        rng = np.random.default_rng(args.seed)
+        centers, R, pts = sf.unordered_scene(
+            rng, args.n_frames, n_distractors=args.distractors
+        )
+        focals = rng.uniform(430.0, 570.0, n_total)
+        k1s = rng.uniform(-0.08, 0.04, n_total)
+        frames_obs = sf.project_all(centers, R, pts, rng, focals=focals,
+                                    k1s=k1s)
+        # GT covisibility counts as one visibility-matrix Gram product
+        # (per-point python pair loops are O(P * f^2) and explode at 1000
+        # frames)
+        n_pts_total = len(pts)
+        V = np.zeros((n_total, n_pts_total), np.float32)
+        for f, (ids, _) in enumerate(frames_obs):
+            V[f, np.asarray(ids, np.int64)] = 1.0
+        Cm = V @ V.T  # [F,F] co-observation counts
+        np.fill_diagonal(Cm, 0)
+        n_gt = int(np.count_nonzero(np.triu(Cm >= 30, k=1)))
 
     def gt_covis(i, j):
         return Cm[i, j]
@@ -90,7 +98,8 @@ def main():
 
     result = {"frames": args.n_frames, "distractors": args.distractors,
               "gt_pairs": n_gt, "matching": {}}
-    for mtype in ("retrieval", "covisibility"):
+    strategies = () if args.rec_only else ("retrieval", "covisibility")
+    for mtype in strategies:
         d = os.path.join(args.workdir, mtype)
         os.makedirs(os.path.join(d, "images"), exist_ok=True)
         shutil.copy(os.path.join(ws, "ftr.bin"), d)

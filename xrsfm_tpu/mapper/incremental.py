@@ -148,6 +148,31 @@ class IncrementalMapper:
         if self.opts.verbose:
             print(f"[mapper] {msg}", flush=True)
 
+    def _bound_jit_footprint(self, n_reg: int, force: bool = False):
+        """Release accumulated compiled executables on long CPU runs.
+
+        The XLA:CPU JIT keeps every compiled variant's code sections
+        mapped for the process lifetime; a reference-scale reconstruction
+        (hundreds of frames -> hundreds of bucketed shapes across
+        register/triangulate/LBA/KGBA) eventually exhausts the JIT's
+        contiguous section memory and aborts with "LLVM ERROR: Unable to
+        allocate section memory!" (observed at the final polish of a
+        500+500-frame 1DSfM run; the in-suite variant of the same
+        accumulation is why the big e2e tests run in fresh subprocesses,
+        tests/test_scale.py).  Dropping the caches unloads dead variants;
+        live shapes reload from the persistent compilation cache in
+        seconds.  Gated to large CPU runs: small scenes never hit the
+        limit and the reload cost would dominate their wall."""
+        import jax
+
+        if jax.default_backend() != "cpu" or n_reg < 256:
+            return
+        self._gba_clears = getattr(self, "_gba_clears", 0) + 1
+        if force or self._gba_clears % 3 == 0:
+            jax.clear_caches()
+            self._log("cleared XLA executable caches (CPU section-memory"
+                      " bound)")
+
     def _mesh(self):
         """Build (once) the scale-out mesh for global solves."""
         if self.opts.n_devices <= 1:
@@ -438,6 +463,7 @@ class IncrementalMapper:
                     )
                     self.stats.time_gba += time.time() - t0
                     num_reg_at_gba = n_reg
+                    self._bound_jit_footprint(n_reg)
                     if gres is not None:
                         self._log(
                             f"KGBA over {n_reg} frames: cost "
@@ -468,6 +494,9 @@ class IncrementalMapper:
             reg_frames = list(np.nonzero(m.registered)[0])
             rotated = False
             if len(reg_frames) >= 2:
+                # the final polish compiles several fresh large-shape
+                # solves; start it with a drained executable arena
+                self._bound_jit_footprint(len(reg_frames), force=True)
                 t0 = time.time()
                 want_polish = (
                     (o.global_polish or o.rot_avg_polish)

@@ -707,7 +707,8 @@ def _cam_colmask(p: BAProblem, with_intri: bool):
 
 def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
                              reduce_fn=None, return_pt_gathers=False,
-                             pt_dtype=jnp.bfloat16, cam_only=False):
+                             pt_dtype=jnp.bfloat16, cam_only=False,
+                             return_cam_w=False):
     """Scatter-free normal-equation blocks via ELL row gathers.
 
     Equivalent to _build_normal_blocks; every observation-sized
@@ -752,8 +753,8 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
         # where the (w·Jc, Jc) pair needed two — the solver is
         # streaming-bound, and this one re-read was ~6 ms at 1M obs
         sw = jnp.sqrt(jnp.maximum(w, 0.0))
-        Jcw = (Jc * sw[..., None, None]).astype(jnp.bfloat16)
-        swr = (r * sw[..., None]).astype(jnp.bfloat16)  # [Rc,Mc,2]
+        Jcw = (Jc * sw[..., None, None]).astype(pt_dtype)
+        swr = (r * sw[..., None]).astype(pt_dtype)  # [Rc,Mc,2]
         Jp16 = Jp.astype(pt_dtype).reshape(-1, 2, 3)
         sc_flat = sc_f.astype(pt_dtype).reshape(-1, 4)
         A = Jcw.reshape(Rc, Mc * 2, D)
@@ -785,6 +786,15 @@ def _build_normal_blocks_ell(p: BAProblem, ell: EllIndex, r, Jc, Jp, w,
     U = U * (m6[:, :, None] * m6[:, None, :])
     bc = bc * m6
     if cam_only:  # the point side comes from _build_pt_blocks_native
+        if return_cam_w:
+            # hand the √w-scaled camera Jacobian rows (pt_dtype, NO gauge
+            # mask) to the Schur solve: with Z' = √w·Jp·L every factored
+            # product (Yᵀx = Z'ᵀ(Jcw x), Yz = Jcwᵀ(Z'z), ΣYYᵀ =
+            # Jcwᵀ(Z'Z'ᵀ)Jcw) reuses this array, so the solve never
+            # re-materializes a masked Jc copy (a 24 B/slot write + a
+            # 48 B/slot f32 re-read at 1M obs); gauge masks are applied
+            # per-camera after each reduction instead (free at [C,D]).
+            return U, bc, Jcw
         return U, bc
 
     Rp, Lw = ell.pt.slots.shape
@@ -951,7 +961,8 @@ def _chol3x3(M):
 
 def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
                      lam, cg_iters, cg_tol, reduce_fn=None,
-                     compute_dtype=jnp.bfloat16, pt_gathers=None):
+                     compute_dtype=jnp.bfloat16, pt_gathers=None,
+                     cam_w=None):
     """ELL-layout Schur solve: points marginalized in closed form, PCG on
     the reduced camera system with scatter-free matvecs.
 
@@ -996,9 +1007,22 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
     pt_major = (
         row_native and pt_gathers is not None and ell.pt_pos is not None
     )
+    # weighted-operand mode: reuse the normal-block build's √w-scaled Jcw
+    # for every camera-side Schur product (Y = Jcwᵀ·Z' with Z' = √w·Jp·L).
+    # No fresh masked Jc copy is materialized (24 B/slot write + 48 B/slot
+    # f32 re-read at 1M obs); the gauge column masks are applied
+    # per-camera AFTER each reduction instead, which is free at [C,D].
+    # PCG stays in the masked subspace because rhs is masked, x0 = 0,
+    # every matvec/precond output is masked, and the preconditioner is
+    # block-diagonal per camera.
+    weighted = cam_w is not None and row_native and pt_major
+    m6post = _cam_colmask(p, with_intri) if weighted else None  # [C,D]
     if row_native:  # [Rc,Mc,2,D] (packed table)
-        m6g = _cam_colmask(p, with_intri).astype(cd)[ell.cam.seg]  # [Rc,D]
-        Jc16 = Jc.astype(cd) * m6g[:, None, None, :]  # [Rc,Mc,2,D]
+        if weighted:
+            Jc16 = cam_w if cam_w.dtype == cd else cam_w.astype(cd)
+        else:
+            m6g = _cam_colmask(p, with_intri).astype(cd)[ell.cam.seg]
+            Jc16 = Jc.astype(cd) * m6g[:, None, None, :]  # [Rc,Mc,2,D]
         if pt_major:
             Z = None  # never materialized camera-major
         else:
@@ -1034,8 +1058,11 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
             # scales worst at 1M obs)
             Jpg, spg = pt_gathers
             L_row = L.astype(cd)[ell.pt.seg]  # [Rp,3,3]
-            wrow = (spg[..., 0].astype(w.dtype)
-                    * ptm[ell.pt.seg][:, None]).astype(cd)
+            w_or_sw = (
+                jnp.sqrt(jnp.maximum(spg[..., 0].astype(w.dtype), 0.0))
+                if weighted else spg[..., 0].astype(w.dtype)
+            )  # √w when the camera side carries the other √w (Jcw)
+            wrow = (w_or_sw * ptm[ell.pt.seg][:, None]).astype(cd)
             Zpt = (
                 jnp.einsum("rlij,rjk->rlik", Jpg, L_row)
                 * wrow[..., None, None]
@@ -1111,7 +1138,8 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
         trow = jnp.einsum(
             "rmid,rmi->rd", Jc16, b, preferred_element_type=jnp.float32
         )
-        return red(jax.ops.segment_sum(trow, ell.cam.seg, num_segments=C))
+        out = red(jax.ops.segment_sum(trow, ell.cam.seg, num_segments=C))
+        return out * m6post if weighted else out
 
     def S_matvec(x):  # x [C,D] f32, intrinsic part block-replicated
         return _proj(
@@ -1146,7 +1174,10 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
         (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [Rc,D,D]
-    Sdiag = Ud - red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))
+    corr = red(jax.ops.segment_sum(S_rows, ell.cam.seg, num_segments=C))
+    if weighted:  # keep masked blocks exactly Ud's (SPD for _inv_spd)
+        corr = corr * (m6post[:, :, None] * m6post[:, None, :])
+    Sdiag = Ud - corr
     Sdiag = Sdiag + 1e-7 * eyeD
     if with_intri:
         # separate pose (per camera) and intrinsic (per block) Jacobi
@@ -1381,12 +1412,15 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
             w_full = prob.obs_w
         _, w = _robust_cost_and_weight(r, z, w_full, opts.huber_px)
         if ell is not None:
+            camw = None
             if row_native and ell.pt_uv is not None:
                 # camera side from the row-native pass; point side
                 # recomputed natively in point order (no transpose
-                # gather of obs-sized Jacobians)
-                U, bc = _build_normal_blocks_ell(
-                    prob, ell, r, Jc, Jp, w, cam_only=True
+                # gather of obs-sized Jacobians); the √w-scaled Jcw is
+                # shared with the Schur solve (weighted-operand mode)
+                U, bc, camw = _build_normal_blocks_ell(
+                    prob, ell, r, Jc, Jp, w, cam_only=True,
+                    return_cam_w=True, pt_dtype=compute_dtype,
                 )
                 V, bp, ptg = _build_pt_blocks_native(
                     prob, ell, opts.huber_px, pt_dtype=compute_dtype
@@ -1400,6 +1434,7 @@ def solve_ba(p: BAProblem, opts: BAOptions = BAOptions(),
                 prob, ell, U, V, bc, bp, Jc, Jp, w, lam,
                 opts.cg_iters, opts.cg_tol,
                 compute_dtype=compute_dtype, pt_gathers=ptg,
+                cam_w=camw,
             )
         else:
             U, V, W, bc, bp = _build_normal_blocks(prob, r, Jc, Jp, w)
