@@ -856,10 +856,14 @@ def _build_pt_blocks_native(p: BAProblem, ell: EllIndex, huber_px,
     t = gt[..., 4:7]
     intri = gt[..., 7:15]
     xyz = p.points[seg]  # [Rp,3] row-uniform
-    R = G.quat_to_rotmat(q)  # [Rp,Lw,3,3]
-    # broadcast multiply+sum, NOT einsum: MXU bf16 passes corrupt
-    # world-scale coordinates (see _row_project)
-    pc = jnp.sum(R * xyz[:, None, None, :], axis=-1) + t
+    # direct quaternion rotation (elementwise VPU chain, exact f32),
+    # NOT quat_to_rotmat + contract: the per-slot [Rp,Lw,3,3] rotation
+    # matrices are 36 B/slot f32 written + re-read 2x (pc and Jp) —
+    # ~13 ms of pure HBM streaming at 1M obs — and an einsum over them
+    # would hit the MXU bf16 world-coordinate hazard (see _row_project)
+    pc = G.quat_rotate(q, jnp.broadcast_to(
+        xyz[:, None, :], g.shape + (3,)
+    )) + t
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     proj = pc[..., :2] / zs[..., None]
@@ -877,7 +881,10 @@ def _build_pt_blocks_native(p: BAProblem, ell: EllIndex, huber_px,
         A[..., 0] * pc[..., None, 0] + A[..., 1] * pc[..., None, 1]
     ) * (inv_z * inv_z)[..., None]
     B = jnp.concatenate([B01, B2[..., None]], axis=-1)  # [Rp,Lw,2,3]
-    Jp = jnp.einsum("rlij,rljk->rlik", B, R)  # [Rp,Lw,2,3]
+    # Jp rows = B rows · R = R^T b = inverse-rotate(b): two quaternion
+    # rotations instead of materializing R [Rp,Lw,3,3]
+    qc = q[..., None, :] * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+    Jp = G.quat_rotate(qc, B)  # [Rp,Lw,2,3]
     Jpg = Jp.astype(pt_dtype)
     spg = jnp.concatenate(
         [w[..., None], r * w[..., None], jnp.zeros_like(w)[..., None]],
@@ -1146,22 +1153,40 @@ def _schur_solve_ell(p: BAProblem, ell: EllIndex, U, V, bc, bp, Jc, Jp, w,
             jnp.einsum("cij,cj->ci", Ud, x) - _ycam_reduce(_ypt_reduce(x))
         )
 
-    # rhs = bc - Σ_o Y_o (Lᵀ bp)_{pt(o)}
+    # rhs = bc - Σ_o Y_o (Lᵀ bp)_{pt(o)}; the preconditioner needs the
+    # per-slot [2,2] Gram of Z.  In pt-major mode both cross to the
+    # camera layout through ONE fused 6-wide payload gather (b [2] ∥
+    # Gz [4]) — each tiny-row gather over the observation table pays
+    # tile-granular HBM traffic regardless of payload width, so fusing
+    # the two trips halves that cost.
     u = jnp.einsum("pji,pj->pi", L, bp)  # Lᵀ bp  [P,3]
-    rhs = _proj(bc - _ycam_reduce(u))
-
-    # block-Jacobi preconditioner: Sdiag_c = Ud_c − Σ_{o∈c} Y_o Y_oᵀ with
-    # Y Yᵀ = Jcᵀ (Z Zᵀ) Jc — the tiny [2,2] Gram of Z per slot keeps the
-    # whole product in the factored space
     if pt_major:
+        zrow = u[ell.pt.seg].astype(cd)  # [Rp,3] row-uniform
+        b_pt = jnp.einsum("rlik,rk->rli", Zpt, zrow)  # [Rp,Lw,2]
         Gz_pt = jnp.einsum(
             "rlik,rljk->rlij", Zpt, Zpt,
             preferred_element_type=jnp.float32,
         )  # [Rp,Lw,2,2]
-        Gz = _gather_obs(
-            Gz_pt.astype(cd).reshape(-1, 2, 2), ell.pt_pos
-        )  # [Rc,Mc,2,2]
+        Rp_, Lw_ = ell.pt.slots.shape
+        payload = jnp.concatenate(
+            [b_pt.astype(cd),
+             Gz_pt.astype(cd).reshape(Rp_, Lw_, 4)], axis=-1,
+        )
+        pay = _gather_obs(payload.reshape(-1, 6), ell.pt_pos)  # [Rc,Mc,6]
+        b_rhs = pay[..., :2]
+        Gz = pay[..., 2:].reshape(Rc, Mc, 2, 2)
+        trow = jnp.einsum(
+            "rmid,rmi->rd", Jc16, b_rhs,
+            preferred_element_type=jnp.float32,
+        )
+        ycam_u = red(
+            jax.ops.segment_sum(trow, ell.cam.seg, num_segments=C)
+        )
+        if weighted:
+            ycam_u = ycam_u * m6post
+        rhs = _proj(bc - ycam_u)
     else:
+        rhs = _proj(bc - _ycam_reduce(u))
         Gz = jnp.einsum(
             "rmik,rmjk->rmij", Z, Z, preferred_element_type=jnp.float32
         )  # [Rc,Mc,2,2]
