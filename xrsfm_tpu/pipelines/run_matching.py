@@ -84,7 +84,9 @@ def get_features(
                     img if img is not None
                     else np.zeros((32, 32), np.uint8)
                 )
-            results = ex.extract_batch(imgs)
+            # one device dispatch for the whole chunk (B=16 measured
+            # ~25% faster than two B=8 dispatches; B=32 spills HBM)
+            results = ex.extract_batch(imgs, batch=CHUNK)
             for name, good, (kps, descs) in zip(grp, ok, results):
                 if not good:
                     feats.append(IOF.FrameFeatures(
