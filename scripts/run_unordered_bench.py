@@ -46,6 +46,10 @@ def main():
     # (stage-cache semantics, like the reference's fp.bin reuse) and run
     # only the reconstruction + evaluation
     ap.add_argument("--rec_only", action="store_true")
+    # which matching strategies to time ("both", "retrieval",
+    # "covisibility") — a reconstruction-gate run needs only the
+    # covisibility arm
+    ap.add_argument("--strategies", default="both")
     args = ap.parse_args()
 
     import jax
@@ -98,7 +102,12 @@ def main():
 
     result = {"frames": args.n_frames, "distractors": args.distractors,
               "gt_pairs": n_gt, "matching": {}}
-    strategies = () if args.rec_only else ("retrieval", "covisibility")
+    if args.rec_only:
+        strategies = ()
+    elif args.strategies == "both":
+        strategies = ("retrieval", "covisibility")
+    else:
+        strategies = tuple(args.strategies.split(","))
     for mtype in strategies:
         d = os.path.join(args.workdir, mtype)
         os.makedirs(os.path.join(d, "images"), exist_ok=True)
@@ -121,9 +130,11 @@ def main():
         }
 
     if args.matching_only:
-        r = result["matching"]["retrieval"]["wall_s"]
-        c = result["matching"]["covisibility"]["wall_s"]
-        result["expansion_speedup"] = round(r / max(c, 1e-9), 2)
+        if ("retrieval" in result["matching"]
+                and "covisibility" in result["matching"]):
+            r = result["matching"]["retrieval"]["wall_s"]
+            c = result["matching"]["covisibility"]["wall_s"]
+            result["expansion_speedup"] = round(r / max(c, 1e-9), 2)
         print(json.dumps(result), flush=True)
         return
 
