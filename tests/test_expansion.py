@@ -63,3 +63,64 @@ def test_simulation_sfm_marks_registrable():
     assert len(reg) == 6
     connected = mm.connected_frames(init[0])
     assert len(connected) == 6
+
+
+def test_simulation_sfm_matches_bruteforce_greedy():
+    """The lazy-heap incremental-counter SimulationSfM must reproduce the
+    reference greedy (full rescan each round: register the unregistered
+    frame with the most triangulated tracks, ties to the lowest id,
+    stop when none reaches the threshold) EXACTLY, registered-set and
+    all (match_expansion.cc:534-601)."""
+    import numpy as np
+
+    def brute(mm, init_pair, threshold):
+        ft = {f: mm.frame_tracks(f) for f in range(mm.nf)}
+        tri, registered = set(), set(init_pair)
+        for f in init_pair:
+            tri.update(ft[f].keys())
+        while True:
+            best, best_cnt = -1, threshold - 1
+            for f in range(mm.nf):
+                if f in registered:
+                    continue
+                cnt = sum(1 for r in ft[f] if r in tri)
+                if cnt > best_cnt:
+                    best, best_cnt = f, cnt
+            if best < 0:
+                return registered
+            registered.add(best)
+            tri.update(ft[best].keys())
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        nf = 12
+        n_kp = 40
+        feats = [
+            __import__("xrsfm_tpu.utils.io_features", fromlist=["x"])
+            .FrameFeatures(
+                f"f{i}",
+                np.column_stack([
+                    rng.uniform(0, 640, n_kp), rng.uniform(0, 480, n_kp),
+                    np.ones(n_kp), np.zeros(n_kp),
+                ]).astype(np.float32),
+                np.zeros((n_kp, 128), np.uint8),
+            )
+            for i in range(nf)
+        ]
+        mm = EXP.MatchMapLite(feats)
+        from xrsfm_tpu.utils.io_features import FramePairData
+
+        for _ in range(20):
+            i, j = sorted(rng.choice(nf, 2, replace=False))
+            n = int(rng.integers(3, 15))
+            a = rng.choice(n_kp, n, replace=False).astype(np.int32)
+            b = rng.choice(n_kp, n, replace=False).astype(np.int32)
+            p = FramePairData(
+                int(i), int(j), np.column_stack([a, b]),
+                np.zeros(n), np.eye(3), n, np.ones(n, bool),
+            )
+            mm.add_pair(p)
+        for th in (2, 5, 10):
+            got = mm.simulate_sfm((0, 1), th)
+            want = brute(mm, (0, 1), th)
+            assert got == want, (trial, th, sorted(got), sorted(want))

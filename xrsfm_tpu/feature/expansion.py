@@ -113,29 +113,61 @@ class MatchMapLite:
                 out[self.uf.find(node)] = p2d
         return out
 
-    def simulate_sfm(self, init_pair: Tuple[int, int], threshold: int) -> Set[int]:
-        """Simulated incremental registration: a frame is registrable when
-        it sees >= threshold already-triangulated tracks
-        (reference: SimulationSfM, match_expansion.cc:534-601)."""
+    def sfm_cache(self):
+        """(frame -> {track root -> p2d}, track root -> [frames]) — built
+        once per expansion iteration and shared by both simulate_sfm
+        thresholds and the covisibility candidate search (it was rebuilt
+        3x per iteration before; each build is O(total matched
+        keypoints) union-find traffic)."""
+        ft = {f: self.frame_tracks(f) for f in range(self.nf)}
+        tf: Dict[int, List[int]] = {}
+        for f, tracks in ft.items():
+            for r in tracks:
+                tf.setdefault(r, []).append(f)
+        return ft, tf
+
+    def simulate_sfm(self, init_pair: Tuple[int, int], threshold: int,
+                     cache=None) -> Set[int]:
+        """Simulated incremental registration: greedily register the
+        frame seeing the most already-triangulated tracks until none
+        reaches `threshold` (reference: SimulationSfM,
+        match_expansion.cc:534-601).
+
+        Incremental counters + a lazy max-heap replace the reference's
+        full rescan per registration round (O(F^2 x tracks/frame) —
+        measured 60 s/iteration at 1000 frames): when a frame registers,
+        only the frames sharing its newly-triangulated tracks get their
+        counters bumped (total work O(sum of track lengths)).  Greedy
+        order is preserved exactly: the heap pops max count, ties to the
+        lowest frame id, and an entry is acted on only if still fresh."""
+        import heapq
+
+        ft, tf = cache if cache is not None else self.sfm_cache()
         tri: Set[int] = set()
         registered: Set[int] = set(init_pair)
-        frame_track_cache = {f: self.frame_tracks(f) for f in range(self.nf)}
-        for f in init_pair:
-            tri.update(frame_track_cache[f].keys())
-        changed = True
-        while changed:
-            changed = False
-            best, best_cnt = -1, threshold - 1
-            for f in range(self.nf):
-                if f in registered:
+        cnt = [0] * self.nf
+        heap: List[Tuple[int, int]] = []
+
+        def add_frame_tracks(f: int):
+            for r in ft[f].keys():
+                if r in tri:
                     continue
-                cnt = sum(1 for r in frame_track_cache[f] if r in tri)
-                if cnt > best_cnt:
-                    best, best_cnt = f, cnt
-            if best >= 0:
-                registered.add(best)
-                tri.update(frame_track_cache[best].keys())
-                changed = True
+                tri.add(r)
+                for g in tf.get(r, ()):
+                    if g not in registered:
+                        cnt[g] += 1
+                        heapq.heappush(heap, (-cnt[g], g))
+
+        for f in init_pair:
+            add_frame_tracks(f)
+        while heap:
+            c, f = heapq.heappop(heap)
+            if f in registered or -c != cnt[f]:
+                continue  # stale entry
+            if -c < threshold:
+                break  # fresh heap top below threshold: nobody qualifies
+            registered.add(f)
+            add_frame_tracks(f)
         return registered
 
 
@@ -144,10 +176,12 @@ def _covisibility_candidates(
     connected: Set[int],
     registered: Set[int],
     id2rank: Dict[int, List[int]],
+    frame_tracks: Dict[int, Dict[int, int]] | None = None,
 ) -> List[Tuple[int, int]]:
     """(reference: GetCandidateCovisibility, match_expansion.cc:660-766)."""
     out = []
-    frame_tracks = {f: mm.frame_tracks(f) for f in connected}
+    if frame_tracks is None:
+        frame_tracks = {f: mm.frame_tracks(f) for f in connected}
     for id1 in connected:
         ranks = id2rank.get(id1, [])
         for id2 in ranks:
@@ -267,9 +301,11 @@ def covisibility_matching(
     for it in range(num_iterations):
         t0 = time.time()
         connected = mm.connected_frames(init_pair[0])
-        reg30 = mm.simulate_sfm(init_pair, 30)
-        reg100 = mm.simulate_sfm(init_pair, 100)
-        cands = _covisibility_candidates(mm, connected, reg100, id2rank)
+        cache = mm.sfm_cache()
+        reg30 = mm.simulate_sfm(init_pair, 30, cache=cache)
+        reg100 = mm.simulate_sfm(init_pair, 100, cache=cache)
+        cands = _covisibility_candidates(mm, connected, reg100, id2rank,
+                                         frame_tracks=cache[0])
         cands += _mayreg_candidates(mm, connected, reg30, id2rank)
         cands = [c for c in sorted(set(cands)) if c not in matched]
         if verbose:
