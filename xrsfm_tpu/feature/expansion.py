@@ -40,32 +40,21 @@ _MAX_EXISTING_MATCHES = 50  # reference: match_expansion.cc:660-741
 _NUM_ITERATIONS = 5  # reference: feature_processing.cc:324-377
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: Dict[int, int] = {}
-
-    def find(self, x: int) -> int:
-        p = self.parent.setdefault(x, x)
-        while p != self.parent[p]:
-            self.parent[p] = self.parent[self.parent[p]]
-            p = self.parent[p]
-        self.parent[x] = p
-        return p
-
-    def union(self, a: int, b: int):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
-
-
 class MatchMapLite:
-    """Union-find track structure over (frame, p2d) nodes + patch grid.
-    (reference: MatchMap, match_expansion.h:21-96)."""
+    """Track structure over (frame, p2d) nodes + patch grid
+    (reference: MatchMap, match_expansion.h:21-96).
+
+    Track identity = connected components over the accumulated inlier
+    match edges, computed BATCHED (scipy csgraph over one edge array)
+    and cached until the next add_pair — the per-edge Python union-find
+    this replaces cost 15.7 s for 7M edges at 2000 frames, ~half the
+    expansion arm's fixed overhead at that scale."""
 
     def __init__(self, features: Sequence[FrameFeatures], sizes=None):
         self.nf = len(features)
-        self.uf = _UnionFind()
         self.kps = [f.keypoints[:, :2] for f in features]
+        self._edges: List[np.ndarray] = []  # [M,2] int64 node-id pairs
+        self._labels = None  # node id -> component root (cached)
         self.patch = []
         for i, f in enumerate(features):
             if len(f.keypoints) == 0:
@@ -89,8 +78,34 @@ class MatchMapLite:
         self.adj.setdefault(p.id1, set()).add(p.id2)
         self.adj.setdefault(p.id2, set()).add(p.id1)
         inl = p.inlier_matches() if p.inlier_mask is not None else p.matches
-        for a, b in inl:
-            self.uf.union(self._node(p.id1, int(a)), self._node(p.id2, int(b)))
+        if len(inl):
+            e = np.empty((len(inl), 2), np.int64)
+            e[:, 0] = p.id1 * (1 << 22) + inl[:, 0].astype(np.int64)
+            e[:, 1] = p.id2 * (1 << 22) + inl[:, 1].astype(np.int64)
+            self._edges.append(e)
+            self._labels = None  # invalidate the component cache
+
+    def _components(self):
+        """(node ids [N], component label per node [N]) over every
+        matched keypoint, cached until the next add_pair."""
+        if self._labels is not None:
+            return self._labels
+        if not self._edges:
+            self._labels = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return self._labels
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        E = np.concatenate(self._edges)
+        nodes, idx = np.unique(E.reshape(-1), return_inverse=True)
+        ii = idx.reshape(-1, 2)
+        n = len(nodes)
+        g = coo_matrix(
+            (np.ones(len(ii), np.int8), (ii[:, 0], ii[:, 1])), shape=(n, n)
+        )
+        _, lab = connected_components(g, directed=False)
+        self._labels = (nodes, lab.astype(np.int64))
+        return self._labels
 
     def connected_frames(self, seed: int) -> Set[int]:
         """BFS over the pair graph (reference: GetConnectedFrames)."""
@@ -105,13 +120,14 @@ class MatchMapLite:
         return seen
 
     def frame_tracks(self, frame: int) -> Dict[int, int]:
-        """track root -> p2d for a frame's matched features."""
-        out = {}
-        for p2d in range(len(self.kps[frame])):
-            node = self._node(frame, p2d)
-            if node in self.uf.parent:
-                out[self.uf.find(node)] = p2d
-        return out
+        """track label -> p2d for a frame's matched features."""
+        nodes, lab = self._components()
+        lo = int(np.searchsorted(nodes, frame << 22))
+        hi = int(np.searchsorted(nodes, (frame + 1) << 22))
+        p2d = (nodes[lo:hi] & ((1 << 22) - 1)).astype(np.int64)
+        return {
+            int(lb): int(pp) for lb, pp in zip(lab[lo:hi], p2d)
+        }
 
     def sfm_cache(self):
         """(frame -> {track root -> p2d}, track root -> [frames]) — built
