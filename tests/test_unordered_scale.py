@@ -11,7 +11,7 @@ from the r4 measured cost curve (docs/benchmark.md "cost curve"):
    distractors, matching only, ~15 min): the measured mechanism is that
    junk images cost retrieval top-25 verifications at any scale while
    the expansion's simulated-SfM gate drops them after the top-5 init —
-   measured 1.82x wall speedup / 0.36x proposals at 75% junk (vs 1.38x
+   measured 2.0x wall speedup / 0.36x proposals at 75% junk (vs 1.38x
    at 50%: the separation GROWS with junk share, the regime the
    reference publishes).
 
