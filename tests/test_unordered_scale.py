@@ -16,7 +16,7 @@ from the r4 measured cost curve (docs/benchmark.md "cost curve"):
    reference publishes).
 
 2. Reconstruction at 500 genuine frames (covisibility-matched pairs
-   through rec_1dsfm, ~45 min): registration >= 90%, ATE, focal
+   through rec_1dsfm, ~35 min measured): registration >= 90%, ATE, focal
    recovery.  Measured r4: 500/500, ATE 0.021% of span, focal median
    4% -> 0.07%.
 
