@@ -62,10 +62,12 @@ def test_unordered_matching_separation(tmp_path):
     cov = r["matching"]["covisibility"]
     for mtype, mm in (("retrieval", ret), ("covisibility", cov)):
         assert mm["precision"] >= 0.95, (mtype, mm)
-    # the separation gates (measured 0.55x wall / 0.36x proposals at
-    # this mix; gated with margin for host variance)
-    assert cov["wall_s"] <= 0.7 * ret["wall_s"], (cov, ret)
+    # the separation gates: proposals are deterministic and carry the
+    # mechanism (measured 0.36x at this mix); wall is gated loosely
+    # (measured 0.55x) because this 2-vCPU host's walls vary widely
+    # between sessions (CLAUDE.md) — the wall signal is logged above.
     assert cov["pairs_proposed"] <= 0.5 * ret["pairs_proposed"], (cov, ret)
+    assert cov["wall_s"] <= 0.85 * ret["wall_s"], (cov, ret)
     # both strategies find the same pair set on this scene
     assert cov["verified_pairs"] >= 0.98 * ret["verified_pairs"]
 

@@ -69,9 +69,6 @@ class MatchMapLite:
         self.pairs: Dict[Tuple[int, int], int] = {}  # (id1,id2) -> n_matches
         self.adj: Dict[int, Set[int]] = {}
 
-    def _node(self, frame: int, p2d: int) -> int:
-        return frame * (1 << 22) + p2d
-
     def add_pair(self, p: FramePairData):
         key = (min(p.id1, p.id2), max(p.id1, p.id2))
         self.pairs[key] = len(p.matches)
@@ -100,8 +97,11 @@ class MatchMapLite:
         nodes, idx = np.unique(E.reshape(-1), return_inverse=True)
         ii = idx.reshape(-1, 2)
         n = len(nodes)
+        # int32 data: duplicate edges (a pair re-added) are summed on CSR
+        # conversion — int8 would wrap to 0 at 256 duplicates and drop
+        # the edge from the component graph
         g = coo_matrix(
-            (np.ones(len(ii), np.int8), (ii[:, 0], ii[:, 1])), shape=(n, n)
+            (np.ones(len(ii), np.int32), (ii[:, 0], ii[:, 1])), shape=(n, n)
         )
         _, lab = connected_components(g, directed=False)
         self._labels = (nodes, lab.astype(np.int64))

@@ -69,8 +69,8 @@ def get_features(
                       f"{len(kps)} features", flush=True)
     else:
         # SIFT: batched device dispatches (ops/sift.extract_batch — one
-        # dispatch + one fetch per group of 8 images instead of per
-        # image; the per-dispatch tunnel round-trip dominated)
+        # dispatch + one fetch per 16-image chunk instead of per image;
+        # the per-dispatch tunnel round-trip dominated)
         ex = SiftExtractor(sift_opts)
         CHUNK = 16
         for s in range(0, len(image_names), CHUNK):
