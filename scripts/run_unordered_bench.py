@@ -46,6 +46,12 @@ def main():
     # (stage-cache semantics, like the reference's fp.bin reuse) and run
     # only the reconstruction + evaluation
     ap.add_argument("--rec_only", action="store_true")
+    # scene topology: "unordered" = central landmark ring (dense genuine
+    # graph, gt pairs ~quadratic); "tour" = street of separate facades
+    # (sparse band graph, gt pairs ~linear — real 1DSfM topology; the
+    # regime where the reference's 5-28x win lives)
+    ap.add_argument("--scene", default="unordered",
+                    choices=["unordered", "tour"])
     # which matching strategies to time ("both", "retrieval",
     # "covisibility") — a reconstruction-gate run needs only the
     # covisibility arm
@@ -67,7 +73,7 @@ def main():
     ws = os.path.join(args.workdir, "ws")
     if not args.rec_only:
         shutil.rmtree(args.workdir, ignore_errors=True)
-        sf.main(ws, scene="unordered", n_frames=args.n_frames,
+        sf.main(ws, scene=args.scene, n_frames=args.n_frames,
                 seed=args.seed, per_image_cameras=True, descriptors=True,
                 distractors=args.distractors)
     n_total = args.n_frames + args.distractors
@@ -77,8 +83,8 @@ def main():
     n_gt = -1
     if not args.rec_only:
         rng = np.random.default_rng(args.seed)
-        centers, R, pts = sf.unordered_scene(
-            rng, args.n_frames, n_distractors=args.distractors
+        centers, R, pts = sf.make_scene(
+            args.scene, rng, args.n_frames, n_distractors=args.distractors
         )
         focals = rng.uniform(430.0, 570.0, n_total)
         k1s = rng.uniform(-0.08, 0.04, n_total)
@@ -86,11 +92,15 @@ def main():
                                     k1s=k1s)
         # GT covisibility counts as one visibility-matrix Gram product
         # (per-point python pair loops are O(P * f^2) and explode at 1000
-        # frames)
-        n_pts_total = len(pts)
-        V = np.zeros((n_total, n_pts_total), np.float32)
+        # frames).  Junk clusters are private to one frame each, so only
+        # the genuine-structure columns can co-occur — restricting V to
+        # them keeps the matrix at [F, genuine_pts] instead of
+        # [F, genuine + 300*distractors] (7 GB at 2,000+ junk frames).
+        n_genuine_pts = len(pts) - sf.DISTRACTOR_PTS * args.distractors
+        V = np.zeros((n_total, n_genuine_pts), np.float32)
         for f, (ids, _) in enumerate(frames_obs):
-            V[f, np.asarray(ids, np.int64)] = 1.0
+            ids = np.asarray(ids, np.int64)
+            V[f, ids[ids < n_genuine_pts]] = 1.0
         Cm = V @ V.T  # [F,F] co-observation counts
         np.fill_diagonal(Cm, 0)
         n_gt = int(np.count_nonzero(np.triu(Cm >= 30, k=1)))

