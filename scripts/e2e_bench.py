@@ -34,12 +34,21 @@ def main():
     ap.add_argument("--scene", default="corridor")
     ap.add_argument("--workdir", default="/tmp/e2e_bench")
     ap.add_argument("--cpu", action="store_true")
+    # record per-phase device-dispatch + host-fetch counts (the tunnel
+    # bills ~13 ms per round-trip; the count x 13 ms is the small-scene
+    # wall model).  Must be decided before xrsfm_tpu imports.
+    ap.add_argument("--count_dispatches", action="store_true")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    counter = None
+    if args.count_dispatches:
+        from xrsfm_tpu.utils.profiling import install_dispatch_counter
+
+        counter = install_dispatch_counter()
     from xrsfm_tpu import enable_compilation_cache
 
     enable_compilation_cache()
@@ -59,17 +68,32 @@ def main():
     names = __import__("xrsfm_tpu.utils.io_features",
                        fromlist=["x"]).load_image_names(images)
 
+    def snap():
+        if counter is None:
+            return None
+        return (counter["jit_calls"], counter["fetches"])
+
+    def phase_counts(before, after):
+        if before is None:
+            return None
+        return {"dispatches": after[0] - before[0],
+                "fetches": after[1] - before[1]}
+
+    c0 = snap()
     t0 = time.time()
     feats = RM.get_features(images, os.path.join(bin_dir, "ftr.bin"), names,
                             verbose=False)
     extract_s = time.time() - t0
+    c1 = snap()
     t0 = time.time()
     RM.main(images, "", "sequential", bin_dir)
     match_s = time.time() - t0  # features cached: pure match+verify
+    c2 = snap()
     t0 = time.time()
     m = RR.main(bin_dir, os.path.join(ws, "camera.txt"),
                 os.path.join(ws, "model"))
     reconstruct_s = time.time() - t0
+    c3 = snap()
     reg = int(np.count_nonzero(m.registered)) if m is not None else 0
 
     ate_pct = None
@@ -94,7 +118,7 @@ def main():
         ate_pct = round(100.0 * float(ate_rmse(gt_c, est_c)) / span, 3)
 
     total = extract_s + match_s + reconstruct_s
-    print(json.dumps({
+    out = {
         "n_images": args.n_images,
         "n_feats_mean": int(np.mean([len(f.keypoints) for f in feats])),
         "extract_s": round(extract_s, 1),
@@ -104,7 +128,16 @@ def main():
         "frames_per_s": round(args.n_images / total, 3),
         "registered": reg,
         "ate_pct_span": ate_pct,
-    }), flush=True)
+    }
+    if counter is not None:
+        out["dispatch_counts"] = {
+            "extract": phase_counts(c0, c1),
+            "match": phase_counts(c1, c2),
+            "reconstruct": phase_counts(c2, c3),
+        }
+        top = sorted(counter["by_name"].items(), key=lambda kv: -kv[1])[:15]
+        out["dispatch_top"] = dict(top)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

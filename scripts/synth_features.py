@@ -157,20 +157,41 @@ def tour_scene(rng, n_frames, n_distractors=0, frames_per_building=25,
         pts.append(g)
     pts_all = np.concatenate(pts)
     length = (n_buildings - 1) * spacing
+    # a small fraction of WIDE overview shots (tourist context photos,
+    # one per gap) standing far back so two adjacent facades share one
+    # frame — real collections bridge landmark clusters this way, and
+    # without them top-5 retrieval seeds never propose a cross-gap pair
+    # (both sides always have closer same-side neighbors) and the
+    # genuine graph fragments (measured: a 120-frame street broke into
+    # 62+58 at one gap).  Overviews keep pair growth linear: each links
+    # ~2 clusters' worth of frames.
+    n_over = max(0, n_buildings - 1)
+    n_walk = max(2, n_frames - n_over)
     xs = np.sort(rng.uniform(-0.4 * spacing, length + 0.4 * spacing,
-                             n_frames))
-    centers = np.zeros((n_frames, 3))
-    centers[:, 0] = xs
-    centers[:, 1] = rng.uniform(-0.2, 1.2, n_frames)
-    centers[:, 2] = rng.uniform(-2.0, 2.0, n_frames)
-    R = np.zeros((n_frames, 3, 3))
-    for i in range(n_frames):
+                             n_walk))
+    over_x = (np.arange(n_over) + 0.5) * spacing
+    centers = np.zeros((n_walk + n_over, 3))
+    centers[:n_walk, 0] = xs
+    centers[:n_walk, 1] = rng.uniform(-0.2, 1.2, n_walk)
+    centers[:n_walk, 2] = rng.uniform(-2.0, 2.0, n_walk)
+    centers[n_walk:, 0] = over_x + rng.uniform(-2.0, 2.0, n_over)
+    centers[n_walk:, 1] = rng.uniform(0.5, 2.0, n_over)
+    centers[n_walk:, 2] = rng.uniform(-24.0, -19.0, n_over)
+    R = np.zeros((n_walk + n_over, 3, 3))
+    for i in range(n_walk):
         tgt = np.array([
             xs[i] + rng.uniform(-3.0, 3.0),
             rng.uniform(0.5, 2.5),
             street,
         ])
         R[i] = look_at_R(centers[i], tgt)
+    for i in range(n_over):
+        tgt = np.array([
+            over_x[i] + rng.uniform(-2.0, 2.0), rng.uniform(1.0, 3.0),
+            street,
+        ])
+        R[n_walk + i] = look_at_R(centers[n_walk + i], tgt)
+    n_frames = n_walk + n_over
     if n_distractors:
         centers, R, pts_all = append_distractors(
             rng, centers, R, pts_all, n_distractors, half=14.0

@@ -70,3 +70,51 @@ def annotate(name: str):
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def install_dispatch_counter():
+    """Count device dispatches (jit-function invocations) and host
+    fetches (jax.device_get) — the tunnel environment bills ~13 ms per
+    round-trip, so the e2e wall at small scenes is ~13 ms x this count
+    (docs/benchmark.md "image-pipeline e2e").
+
+    MUST be called before importing any xrsfm_tpu compute module: the
+    package jits at import time via the module-level ``jax.jit``
+    attribute, which this function replaces with a counting wrapper.
+    Eager jnp ops are not counted (package convention keeps host math in
+    numpy, CLAUDE.md).  Returns the live counter dict
+    {"jit_calls": int, "fetches": int, "by_name": {fn: count}}.
+    """
+    import functools
+
+    import jax
+
+    state = {"jit_calls": 0, "fetches": 0, "by_name": {}}
+    orig_jit = jax.jit
+
+    def counting_jit(fun=None, **kw):
+        if fun is None:
+            return functools.partial(counting_jit, **kw)
+        g = orig_jit(fun, **kw)
+        name = getattr(fun, "__name__", str(fun))
+
+        @functools.wraps(fun)
+        def wrapper(*a, **k):
+            state["jit_calls"] += 1
+            state["by_name"][name] = state["by_name"].get(name, 0) + 1
+            return g(*a, **k)
+
+        for attr in ("lower", "trace", "eval_shape", "clear_cache"):
+            if hasattr(g, attr):
+                setattr(wrapper, attr, getattr(g, attr))
+        return wrapper
+
+    jax.jit = counting_jit
+    orig_get = jax.device_get
+
+    def counting_get(x):
+        state["fetches"] += 1
+        return orig_get(x)
+
+    jax.device_get = counting_get
+    return state
