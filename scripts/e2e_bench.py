@@ -38,6 +38,15 @@ def main():
     # bills ~13 ms per round-trip; the count x 13 ms is the small-scene
     # wall model).  Must be decided before xrsfm_tpu imports.
     ap.add_argument("--count_dispatches", action="store_true")
+    # steady-state mode: run each phase TWICE in this process and report
+    # the second pass.  The r5 dispatch-count analysis attributed the
+    # "warm" wall's dominant cost to PER-PROCESS jit warmup (trace +
+    # compile-cache load across ~18 BA shapes + the other kernels'
+    # buckets: 72 s of the 116 s reconstruct wall @96 images), not to
+    # tunnel dispatches (1,387 round-trips ~ 18 s).  A long-lived
+    # production service pays warmup once; --steady measures that
+    # regime.
+    ap.add_argument("--steady", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -79,21 +88,29 @@ def main():
         return {"dispatches": after[0] - before[0],
                 "fetches": after[1] - before[1]}
 
-    c0 = snap()
-    t0 = time.time()
-    feats = RM.get_features(images, os.path.join(bin_dir, "ftr.bin"), names,
-                            verbose=False)
-    extract_s = time.time() - t0
-    c1 = snap()
-    t0 = time.time()
-    RM.main(images, "", "sequential", bin_dir)
-    match_s = time.time() - t0  # features cached: pure match+verify
-    c2 = snap()
-    t0 = time.time()
-    m = RR.main(bin_dir, os.path.join(ws, "camera.txt"),
-                os.path.join(ws, "model"))
-    reconstruct_s = time.time() - t0
-    c3 = snap()
+    passes = 2 if args.steady else 1
+    for _pass in range(passes):
+        if _pass:  # second pass re-does the work with jits warm
+            os.remove(os.path.join(bin_dir, "ftr.bin"))
+            for fp in ("fp.bin", "fp_init.bin"):
+                p = os.path.join(bin_dir, fp)
+                if os.path.exists(p):
+                    os.remove(p)
+        c0 = snap()
+        t0 = time.time()
+        feats = RM.get_features(images, os.path.join(bin_dir, "ftr.bin"),
+                                names, verbose=False)
+        extract_s = time.time() - t0
+        c1 = snap()
+        t0 = time.time()
+        RM.main(images, "", "sequential", bin_dir)
+        match_s = time.time() - t0  # features cached: pure match+verify
+        c2 = snap()
+        t0 = time.time()
+        m = RR.main(bin_dir, os.path.join(ws, "camera.txt"),
+                    os.path.join(ws, "model"))
+        reconstruct_s = time.time() - t0
+        c3 = snap()
     reg = int(np.count_nonzero(m.registered)) if m is not None else 0
 
     ate_pct = None
@@ -119,6 +136,7 @@ def main():
 
     total = extract_s + match_s + reconstruct_s
     out = {
+        "mode": "steady" if args.steady else "fresh_process",
         "n_images": args.n_images,
         "n_feats_mean": int(np.mean([len(f.keypoints) for f in feats])),
         "extract_s": round(extract_s, 1),

@@ -184,6 +184,12 @@ def build_problem(
     return prob, frames, tracks, ell, n_obs
 
 
+# per-phase wall accumulators for run_ba (read by scripts/e2e_bench.py
+# and profiling experiments; reset by zeroing the dict values)
+PROF = {"build": 0.0, "solve_fetch": 0.0, "writeback": 0.0, "calls": 0,
+        "shapes": set()}
+
+
 def run_ba(
     m: SfMMap,
     opt_frames: Sequence[int],
@@ -206,14 +212,24 @@ def run_ba(
     production scale-out path, for pose-only AND intrinsics-refining
     solves (the distributed step carries the same 14-dof tied-intrinsics
     tangent as the single-device solver)."""
+    import time as _time
+
     gauge = [m.init_id1, m.init_id2] if m.init_id1 >= 0 else []
+    _t0 = _time.time()
     prob, frames, tracks, ell, n_obs = build_problem(
         m, opt_frames, fix_all_poses=fix_all_poses, gauge_frames=gauge,
         obs_frames=obs_frames, freeze_tracks=freeze_tracks,
         freeze_rotations=freeze_rotations,
     )
+    PROF["build"] += _time.time() - _t0
+    PROF["calls"] += 1
     if prob is None:
         return None
+    PROF["shapes"].add(
+        (prob.cam_q.shape[0], prob.points.shape[0], prob.obs_uv.shape[0],
+         bool(optimize_intrinsics))
+    )
+    _t0 = _time.time()
     if optimize_intrinsics:
         opts = dataclasses.replace(opts, optimize_intrinsics=True)
     n_mesh_dev = (
@@ -242,6 +258,8 @@ def run_ba(
         (sol.cam_q, sol.cam_t, sol.points, sol.cam_intri,
          info["initial_cost"], info["final_cost"], info["iters"])
     )
+    PROF["solve_fetch"] += _time.time() - _t0
+    _t0 = _time.time()
     q = np.asarray(q, np.float64)[:nf]
     t = np.asarray(t, np.float64)[:nf]
     pts = np.asarray(pts, np.float64)[:nt]
@@ -256,6 +274,7 @@ def run_ba(
         for cid in np.unique(cam_ids):
             row = int(np.nonzero(cam_ids == cid)[0][0])
             m.update_camera(int(cid), intri[row])
+    PROF["writeback"] += _time.time() - _t0
     return BAGlueResult(
         frame_ids=np.asarray(frames),
         track_ids=np.asarray(tracks),

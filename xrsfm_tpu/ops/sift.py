@@ -532,21 +532,26 @@ class SiftExtractor:
             img = np.asarray(image)
             if img.ndim == 3:
                 img = img.mean(axis=2)
-            img = img.astype(np.float32)
-            if img.size and img.max() > 1.5:
-                img = img / 255.0
+            if img.dtype != np.uint8:
+                # keep uint8 sources as uint8: the host->device transfer
+                # rides a ~GB/s tunnel and f32 quadruples it for no
+                # precision gain (the [0,1] scale happens in-jit)
+                img = img.astype(np.float32)
+                if img.size and img.max() > 1.5:
+                    img = img / 255.0
             prepped.append(img)
         groups = {}
         for i, img in enumerate(prepped):
             h, w = img.shape
             H = (h + 31) // 32 * 32
             W = (w + 31) // 32 * 32
-            groups.setdefault((H, W), []).append(i)
+            groups.setdefault((H, W, img.dtype == np.uint8), []).append(i)
         out = [None] * len(prepped)
-        for (H, W), idxs in groups.items():
+        for (H, W, is_u8), idxs in groups.items():
             for s in range(0, len(idxs), batch):
                 grp = idxs[s: s + batch]
-                buf = np.zeros((len(grp), H, W), np.float32)
+                buf = np.zeros((len(grp), H, W),
+                               np.uint8 if is_u8 else np.float32)
                 for bi, i in enumerate(grp):
                     h, w = prepped[i].shape
                     buf[bi, :h, :w] = prepped[i]

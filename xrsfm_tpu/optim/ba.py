@@ -202,21 +202,31 @@ def _bucket(n: int, lo: int = 8) -> int:
 
 
 def _bucket_quarter(n: int, lo: int = 8) -> int:
-    """Quarter-octave bucket: smallest {2^k * m/8, m in 5..8} >= n.
+    """Row-count bucket, granularity scaled to where the cost lives:
 
-    Large row counts (>= 8192) round to a multiple of 64 instead: at
-    1M-observation scale a quarter-octave overshoot is ~10% of every
-    observation-sized op in the solver (measured: the bench-large table
-    bucketed 1.114M real slots to 1.31M).  Fine granularity there costs
-    ~one fresh compile per global solve — which problems this big pay
-    anyway (track counts move >25% between growth-phase KGBAs) and
-    repeated solves at one map state (polish rounds) still cache."""
+    * n <= 192: FULL octave (power of two).  The incremental mapper's
+      many small solves are compile-bound, not compute-bound — r5
+      measured 18 distinct LM shapes costing 34 s/process of trace +
+      compile-cache load vs ~8 s of total device compute over a
+      96-image reconstruction; a quarter-octave ladder here buys
+      microseconds of padding compute per avoided row at ~1.3 s of
+      trace per extra shape.
+    * 192 < n < 8192: quarter-octave {2^k * m/8, m in 5..8} — plain
+      power-of-two wastes up to 2x (measured 1.88x on the 140k-obs
+      bench, 600 rows bucketed to 1024), which inflates EVERY
+      observation-sized op in the solver.  Four buckets per octave cap
+      padding at 25%.
+    * n >= 8192: multiple of 64 — at 1M-observation scale a
+      quarter-octave overshoot is ~10% of every observation-sized op
+      (measured: 1.114M real slots bucketed to 1.31M).  Fine granularity
+      costs ~one fresh compile per global solve, which problems this big
+      pay anyway, and repeated solves at one map state still cache."""
     if n >= 8192:
         return (n + 63) // 64 * 64
     b = lo
     while b < n:
         b *= 2
-    if b <= lo:
+    if b <= lo or n <= 192:
         return b
     q = b // 8
     for m in (5, 6, 7):
