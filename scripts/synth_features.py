@@ -165,11 +165,14 @@ def tour_scene(rng, n_frames, n_distractors=0, frames_per_building=25,
     # genuine graph fragments (measured: a 120-frame street broke into
     # 62+58 at one gap).  Overviews keep pair growth linear: each links
     # ~2 clusters' worth of frames.
-    n_over = max(0, n_buildings - 1)
+    n_over = max(0, 2 * (n_buildings - 1))  # 2 context shots per gap —
+    # one bridge can miss every top-5 list once junk dilutes retrieval
+    # (measured: 1 overview/gap left 28 of 250 genuine frames
+    # unreachable at 90% junk)
     n_walk = max(2, n_frames - n_over)
     xs = np.sort(rng.uniform(-0.4 * spacing, length + 0.4 * spacing,
                              n_walk))
-    over_x = (np.arange(n_over) + 0.5) * spacing
+    over_x = (np.arange(n_over) // 2 + 0.5) * spacing
     centers = np.zeros((n_walk + n_over, 3))
     centers[:n_walk, 0] = xs
     centers[:n_walk, 1] = rng.uniform(-0.2, 1.2, n_walk)

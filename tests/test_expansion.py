@@ -124,3 +124,62 @@ def test_simulation_sfm_matches_bruteforce_greedy():
             got = mm.simulate_sfm((0, 1), th)
             want = brute(mm, (0, 1), th)
             assert got == want, (trial, th, sorted(got), sorted(want))
+
+
+def test_incremental_components_match_batch():
+    """Pairs added across iterations must yield the same component
+    partition as one batch build (the incremental label-graph merge in
+    MatchMapLite._components)."""
+    import numpy as np
+    from xrsfm_tpu.feature.expansion import MatchMapLite
+    from xrsfm_tpu.utils.io_features import FrameFeatures, FramePairData
+
+    rng = np.random.default_rng(0)
+    nf, nk = 12, 40
+    feats = [
+        FrameFeatures(
+            f"f{i}", rng.uniform(0, 100, (nk, 4)).astype(np.float32),
+            np.zeros((nk, 128), np.uint8),
+        )
+        for i in range(nf)
+    ]
+
+    def make_pairs(seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(30):
+            a, b = sorted(r.choice(nf, 2, replace=False))
+            m = np.stack([r.choice(nk, 12, replace=False),
+                          r.choice(nk, 12, replace=False)], 1)
+            out.append(FramePairData(
+                id1=int(a), id2=int(b), matches=m.astype(np.int32),
+                distances=np.zeros(len(m)), E=np.eye(3),
+                inlier_num=len(m), inlier_mask=np.ones(len(m), bool),
+            ))
+        return out
+
+    pairs = make_pairs(7)
+    mm_inc = MatchMapLite(feats)
+    # interleave adds with _components() calls (forces incremental path)
+    for i, p in enumerate(pairs):
+        mm_inc.add_pair(p)
+        if i % 7 == 0:
+            mm_inc._components()
+    nodes_i, lab_i = mm_inc._components()
+
+    mm_all = MatchMapLite(feats)
+    for p in pairs:
+        mm_all.add_pair(p)
+    nodes_b, lab_b = mm_all._components()
+
+    assert np.array_equal(nodes_i, nodes_b)
+    # same partition up to relabeling
+    import collections
+    part_i = collections.defaultdict(set)
+    part_b = collections.defaultdict(set)
+    for n, l in zip(nodes_i, lab_i):
+        part_i[int(l)].add(int(n))
+    for n, l in zip(nodes_b, lab_b):
+        part_b[int(l)].add(int(n))
+    assert sorted(map(sorted, part_i.values())) == \
+        sorted(map(sorted, part_b.values()))

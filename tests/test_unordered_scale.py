@@ -7,13 +7,15 @@ registers 571 of 2,915 images).  The r3 verdict's top gap was that this
 repo's expansion win was only validated at 60-80 frames.  Two gates,
 from the r4 measured cost curve (docs/benchmark.md "cost curve"):
 
-1. Matching separation on the junk axis (500 genuine + 1500
-   distractors, matching only, ~15 min): the measured mechanism is that
-   junk images cost retrieval top-25 verifications at any scale while
-   the expansion's simulated-SfM gate drops them after the top-5 init —
-   measured 2.0x wall speedup / 0.36x proposals at 75% junk (vs 1.38x
-   at 50%: the separation GROWS with junk share, the regime the
-   reference publishes).
+1. Matching separation at realistic 1DSfM topology (r5): the `tour`
+   scene's SPARSE genuine graph (gt pairs ~linear in frames) with 85%
+   junk (300 genuine + 1700 distractors, matching only, ~15 min).  The
+   measured mechanism: junk images cost retrieval top-25 verifications
+   each while the expansion's simulated-SfM gate drops them after the
+   top-5 init — measured 2.84x wall / 0.27x proposals at 85% junk,
+   converging on the (25·dedup)/(5·dedup) ≈ 4.8x structural asymptote
+   (docs/benchmark.md axis 3; both arms share the same batched
+   matcher+verifier, so the proposal ratio bounds the wall ratio).
 
 2. Reconstruction at 500 genuine frames (covisibility-matched pairs
    through rec_1dsfm, ~35 min measured): registration >= 90%, ATE, focal
@@ -55,7 +57,8 @@ def _run(args, timeout):
 
 @pytest.mark.slow
 def test_unordered_matching_separation(tmp_path):
-    r = _run(["--n_frames", "500", "--distractors", "1500", "--cpu",
+    r = _run(["--scene", "tour", "--n_frames", "300",
+              "--distractors", "1700", "--cpu",
               "--matching_only", "--workdir", str(tmp_path / "ub")],
              timeout=3600)
     ret = r["matching"]["retrieval"]
@@ -63,13 +66,13 @@ def test_unordered_matching_separation(tmp_path):
     for mtype, mm in (("retrieval", ret), ("covisibility", cov)):
         assert mm["precision"] >= 0.95, (mtype, mm)
     # the separation gates: proposals are deterministic and carry the
-    # mechanism (measured 0.36x at this mix); wall is gated loosely
-    # (measured 0.55x) because this 2-vCPU host's walls vary widely
-    # between sessions (CLAUDE.md) — the wall signal is logged above.
-    assert cov["pairs_proposed"] <= 0.5 * ret["pairs_proposed"], (cov, ret)
-    assert cov["wall_s"] <= 0.85 * ret["wall_s"], (cov, ret)
+    # mechanism (measured 0.27x at this mix); wall is gated with margin
+    # (measured 0.35x) because this 2-vCPU host's walls vary widely
+    # between sessions (CLAUDE.md).
+    assert cov["pairs_proposed"] <= 0.33 * ret["pairs_proposed"], (cov, ret)
+    assert cov["wall_s"] <= 0.45 * ret["wall_s"], (cov, ret)
     # both strategies find the same pair set on this scene
-    assert cov["verified_pairs"] >= 0.98 * ret["verified_pairs"]
+    assert cov["verified_pairs"] >= 0.95 * ret["verified_pairs"]
 
 
 @pytest.mark.slow

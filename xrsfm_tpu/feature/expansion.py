@@ -53,8 +53,8 @@ class MatchMapLite:
     def __init__(self, features: Sequence[FrameFeatures], sizes=None):
         self.nf = len(features)
         self.kps = [f.keypoints[:, :2] for f in features]
-        self._edges: List[np.ndarray] = []  # [M,2] int64 node-id pairs
-        self._labels = None  # node id -> component root (cached)
+        self._pending: List[np.ndarray] = []  # [M,2] int64 node-id pairs
+        self._labels = None  # (sorted node ids, component label per node)
         self.patch = []
         for i, f in enumerate(features):
             if len(f.keypoints) == 0:
@@ -79,24 +79,14 @@ class MatchMapLite:
             e = np.empty((len(inl), 2), np.int64)
             e[:, 0] = p.id1 * (1 << 22) + inl[:, 0].astype(np.int64)
             e[:, 1] = p.id2 * (1 << 22) + inl[:, 1].astype(np.int64)
-            self._edges.append(e)
-            self._labels = None  # invalidate the component cache
+            self._pending.append(e)
 
-    def _components(self):
-        """(node ids [N], component label per node [N]) over every
-        matched keypoint, cached until the next add_pair."""
-        if self._labels is not None:
-            return self._labels
-        if not self._edges:
-            self._labels = (np.zeros(0, np.int64), np.zeros(0, np.int64))
-            return self._labels
+    @staticmethod
+    def _cc(ii, n):
+        """Batched connected components over edge index pairs [M,2]."""
         from scipy.sparse import coo_matrix
         from scipy.sparse.csgraph import connected_components
 
-        E = np.concatenate(self._edges)
-        nodes, idx = np.unique(E.reshape(-1), return_inverse=True)
-        ii = idx.reshape(-1, 2)
-        n = len(nodes)
         # int32 data: duplicate edges (a pair re-added) are summed on CSR
         # conversion — int8 would wrap to 0 at 256 duplicates and drop
         # the edge from the component graph
@@ -104,7 +94,51 @@ class MatchMapLite:
             (np.ones(len(ii), np.int32), (ii[:, 0], ii[:, 1])), shape=(n, n)
         )
         _, lab = connected_components(g, directed=False)
-        self._labels = (nodes, lab.astype(np.int64))
+        return lab.astype(np.int64)
+
+    def _components(self):
+        """(node ids [N], component label per node [N]) over every
+        matched keypoint.  Incremental: edges added since the last call
+        are merged by running connected components over the (much
+        smaller) LABEL graph instead of rebuilding the full node graph —
+        a full rebuild at 2,500-frame scale is seconds per expansion
+        iteration over ~1M nodes, while iterations 2+ add only a few
+        hundred pairs."""
+        if self._labels is not None and not self._pending:
+            return self._labels
+        if self._labels is None:
+            if not self._pending:
+                self._labels = (
+                    np.zeros(0, np.int64), np.zeros(0, np.int64)
+                )
+                return self._labels
+            E = np.concatenate(self._pending)
+            self._pending = []
+            nodes, idx = np.unique(E.reshape(-1), return_inverse=True)
+            lab = self._cc(idx.reshape(-1, 2), len(nodes))
+            self._labels = (nodes, lab)
+            return self._labels
+        nodes, lab = self._labels
+        E = np.concatenate(self._pending)
+        self._pending = []
+        enodes = np.unique(E.reshape(-1))
+        pos = np.searchsorted(nodes, enodes)
+        pos_c = np.clip(pos, 0, len(nodes) - 1)
+        is_new = (pos >= len(nodes)) | (nodes[pos_c] != enodes)
+        nodes2 = np.union1d(nodes, enodes[is_new])
+        lab2 = np.empty(len(nodes2), np.int64)
+        lab2[np.searchsorted(nodes2, nodes)] = lab
+        n_old_lab = int(lab.max()) + 1 if len(lab) else 0
+        new_nodes = enodes[is_new]
+        lab2[np.searchsorted(nodes2, new_nodes)] = n_old_lab + np.arange(
+            len(new_nodes)
+        )
+        n_lab = n_old_lab + len(new_nodes)
+        l1 = lab2[np.searchsorted(nodes2, E[:, 0])]
+        l2 = lab2[np.searchsorted(nodes2, E[:, 1])]
+        lpairs = np.unique(np.stack([l1, l2], 1), axis=0)
+        merge = self._cc(lpairs, n_lab)
+        self._labels = (nodes2, merge[lab2])
         return self._labels
 
     def connected_frames(self, seed: int) -> Set[int]:
