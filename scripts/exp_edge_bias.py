@@ -70,7 +70,11 @@ def main():
     from xrsfm_tpu.pipelines.run_reconstruction import build_map
     from xrsfm_tpu.utils import geometry as G
 
-    enable_compilation_cache()
+    # private cache dir: the shared cache's accumulated entries carry a
+    # cpu-feature fingerprint this loader rejects, forcing recompiles
+    # that exhaust the CPU JIT's section memory (observed segfault in
+    # libgcc after 65 "LLVM compilation error: Cannot allocate memory")
+    enable_compilation_cache("/tmp/jax_cache_edge_bias")
     if not os.path.exists(os.path.join(args.ws, "fp.bin")):
         sf.main(args.ws, scene="kitti", n_frames=args.n_frames,
                 seed=args.seed)
@@ -90,16 +94,27 @@ def main():
     f = float(m.cameras[0][0])
     th = (2.0 / f) ** 2 * args.th_scale
 
+    from xrsfm_tpu.mapper.kernels import bucket
+
     def measure(u1, u2, key, iters):
-        u1 = jnp.asarray(u1, jnp.float32)
-        u2 = jnp.asarray(u2, jnp.float32)
-        mk = jnp.ones(u1.shape[0], bool)
-        E, inl, _n, ok = K.essential_ransac(key, u1, u2, mk, jnp.float32(th))
+        # pad to shared buckets: per-length shapes would compile one
+        # fresh XLA:CPU executable per distinct match count and exhaust
+        # the JIT's section memory (~700 pairs -> hundreds of shapes)
+        n = len(u1)
+        B = bucket(n, lo=64)
+        u1p = np.zeros((B, 2), np.float32)
+        u2p = np.zeros((B, 2), np.float32)
+        u1p[:n], u2p[:n] = u1, u2
+        mk = np.zeros(B, bool)
+        mk[:n] = True
+        u1p, u2p, mk = jnp.asarray(u1p), jnp.asarray(u2p), jnp.asarray(mk)
+        E, inl, _n, ok = K.essential_ransac(key, u1p, u2p, mk,
+                                            jnp.float32(th))
         q, t, n_good, _gm = epipolar.recover_pose_from_essential(
-            E, u1, u2, inl
+            E, u1p, u2p, inl
         )
         q, t = epipolar.refine_essential_manifold(
-            q, t, u1, u2, mk, jnp.float32(th), iters=iters
+            q, t, u1p, u2p, mk, jnp.float32(th), iters=iters
         )
         return np.asarray(q)
 
@@ -134,6 +149,8 @@ def main():
             errs_clean.append(rot_err_deg(q_cl, id1, id2))
         if (k + 1) % 100 == 0:
             print(f"  {k + 1}/{len(pairs)} pairs", flush=True)
+        if (k + 1) % 200 == 0:
+            jax.clear_caches()  # bound the CPU JIT's section memory
 
     errs_raw = np.array(errs_raw)
     errs_clean = np.array(errs_clean)
