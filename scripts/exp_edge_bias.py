@@ -66,15 +66,15 @@ def main():
 
     import synth_features as sf
 
-    from xrsfm_tpu import enable_compilation_cache
     from xrsfm_tpu.pipelines.run_reconstruction import build_map
     from xrsfm_tpu.utils import geometry as G
 
-    # private cache dir: the shared cache's accumulated entries carry a
-    # cpu-feature fingerprint this loader rejects, forcing recompiles
-    # that exhaust the CPU JIT's section memory (observed segfault in
-    # libgcc after 65 "LLVM compilation error: Cannot allocate memory")
-    enable_compilation_cache("/tmp/jax_cache_edge_bias")
+    # NO persistent compilation cache here: with the 0-threshold persist
+    # policy every tiny eager op becomes a cache entry, and reloading
+    # ~1,000+ of them mmap-fills the XLA:CPU JIT's contiguous section
+    # arena before the experiment's loop even starts (observed segfault
+    # in ContiguousSectionMemoryManager).  The few kernels this script
+    # uses compile in-memory in ~a minute.
     if not os.path.exists(os.path.join(args.ws, "fp.bin")):
         sf.main(args.ws, scene="kitti", n_frames=args.n_frames,
                 seed=args.seed)
@@ -95,11 +95,25 @@ def main():
     th = (2.0 / f) ** 2 * args.th_scale
 
     from xrsfm_tpu.mapper.kernels import bucket
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def _measure_jit(key, u1p, u2p, mk, th_j, iters):
+        # ONE jitted graph per bucket: calling the refinement eagerly
+        # compiles hundreds of tiny executables per pair (jacfwd inside
+        # the IRLS loop) and exhausts the CPU JIT's section memory
+        E, inl, _n, ok = K.essential_ransac(key, u1p, u2p, mk, th_j)
+        q, t, n_good, _gm = epipolar.recover_pose_from_essential(
+            E, u1p, u2p, inl
+        )
+        q, t = epipolar.refine_essential_manifold(
+            q, t, u1p, u2p, mk, th_j, iters=iters
+        )
+        return q
 
     def measure(u1, u2, key, iters):
         # pad to shared buckets: per-length shapes would compile one
-        # fresh XLA:CPU executable per distinct match count and exhaust
-        # the JIT's section memory (~700 pairs -> hundreds of shapes)
+        # fresh XLA:CPU executable per distinct match count
         n = len(u1)
         B = bucket(n, lo=64)
         u1p = np.zeros((B, 2), np.float32)
@@ -107,16 +121,9 @@ def main():
         u1p[:n], u2p[:n] = u1, u2
         mk = np.zeros(B, bool)
         mk[:n] = True
-        u1p, u2p, mk = jnp.asarray(u1p), jnp.asarray(u2p), jnp.asarray(mk)
-        E, inl, _n, ok = K.essential_ransac(key, u1p, u2p, mk,
-                                            jnp.float32(th))
-        q, t, n_good, _gm = epipolar.recover_pose_from_essential(
-            E, u1p, u2p, inl
+        return np.asarray(
+            _measure_jit(key, u1p, u2p, mk, jnp.float32(th), iters)
         )
-        q, t = epipolar.refine_essential_manifold(
-            q, t, u1p, u2p, mk, jnp.float32(th), iters=iters
-        )
-        return np.asarray(q)
 
     def conj(q):
         return np.array([q[0], -q[1], -q[2], -q[3]])

@@ -65,9 +65,15 @@ def test_marked_headlines_match_artifacts():
 
 
 def test_latest_artifact_fields_are_marked():
+    # one-round grace: the end-of-round artifact is written by the
+    # driver AFTER the round's commits, so docs can only cite it in the
+    # NEXT round — the newest OR second-newest artifact must be the
+    # headline.
     benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     assert benches
-    latest = os.path.splitext(os.path.basename(benches[-1]))[0]
+    accept = {
+        os.path.splitext(os.path.basename(b))[0] for b in benches[-2:]
+    }
     marked = {(a, f) for _, a, f in _claims()}
     required = {
         "ba_lm_iters_per_s",
@@ -75,8 +81,12 @@ def test_latest_artifact_fields_are_marked():
         "secondary.sift_images_per_s_480p",
         "vs_baseline",
     }
-    missing = {f for f in required if (latest, f) not in marked}
+    missing = {
+        f for f in required
+        if not any((a, f) in marked for a in accept)
+    }
     assert not missing, (
-        f"docs/benchmark.md must headline the newest recorded artifact "
-        f"{latest}: fields without a marker: {sorted(missing)}"
+        f"docs/benchmark.md must headline one of the newest recorded "
+        f"artifacts {sorted(accept)}: fields without a marker: "
+        f"{sorted(missing)}"
     )
