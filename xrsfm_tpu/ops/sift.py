@@ -285,11 +285,17 @@ def _bilinear_gather_lvl(gstack: jax.Array, l, ys: jax.Array,
 def _nn_gather_lvl(gstack: jax.Array, l, ys: jax.Array,
                    xs: jax.Array) -> jax.Array:
     """Nearest-neighbor tap (1 gather instead of bilinear's 4).  Used by
-    the ORIENTATION pass only: the 36-bin histogram is smoothed 6x, so
-    sub-pixel sample placement is immaterial there (A/B-gated by
-    tests/test_sift_ab.py), while the gathers are the stage's dominant
-    cost.  The descriptor pass keeps bilinear taps — its soft spatial
-    bins do feel half-pixel shifts."""
+    the DESCRIPTOR pass only: its soft spatial/angular binning absorbs
+    the half-pixel sample placement (measured on the 8-image arc smoke,
+    descriptor-NN with bilinear orientations is as good as all-bilinear:
+    0.119% vs 0.273% ATE), while the gathers are the stage's dominant
+    cost.  The ORIENTATION pass must keep bilinear taps: r4 ran it with
+    NN taps and the quantized gradient directions jittered the dominant
+    orientation enough to move the descriptor grid with viewpoint —
+    reprojection degraded 0.256 -> 0.393px, per-frame rotation error
+    6.6x, arc-smoke ATE 0.27% -> 2.15% (r5 bisect: r3 good / r4 bad,
+    isolated to this tap choice; the repeatability A/B gate did not see
+    it because detection positions were unchanged)."""
     L, H, W = gstack.shape
     yy = jnp.round(ys).astype(jnp.int32)
     xx = jnp.round(xs).astype(jnp.int32)
@@ -321,7 +327,7 @@ def _orientation_and_descriptor(gstack, lvls, xs, ys, sigma,
     wgt_ori = jnp.exp(-(ox**2 + oy**2) / (2 * 2.0**2))
 
     def per_kp_orient(l, x, y, sp):
-        v = _nn_gather_lvl(gstack, l, y + oy * sp, x + ox * sp)  # [P,P]
+        v = _bilinear_gather_lvl(gstack, l, y + oy * sp, x + ox * sp)  # [P,P]
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)
         ang = jnp.arctan2(gy, gx)  # [-pi, pi]
@@ -347,6 +353,9 @@ def _orientation_and_descriptor(gstack, lvls, xs, ys, sigma,
         ct, st = jnp.cos(theta), jnp.sin(theta)
         rx = ct * ox - st * oy
         ry = st * ox + ct * oy
+        # NN taps are safe HERE (soft binning absorbs them) but NOT in
+        # the orientation pass above — see _nn_gather_lvl's docstring
+        # for the measured r4 regression and the r5 bisect.
         v = _nn_gather_lvl(gstack, l, y + ry * sp, x + rx * sp)
         gx, gy = _patch_gradients(v)
         mag = jnp.sqrt(gx * gx + gy * gy + 1e-18)

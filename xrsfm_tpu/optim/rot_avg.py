@@ -86,6 +86,18 @@ def _measure_batch(keys, uv1, uv2, mask, th):
         # long-baseline kitti-class pairs; GT-E measured DEEPER than the
         # RANSAC-E on 11/12 such pairs) — see refine_essential_manifold
         q, t = epipolar.refine_essential_manifold(q, t, u1, u2, mk, th_k)
+        # graduated second stage at a 4x tighter truncation knee (2px ->
+        # 1px): the ~3% of stored "verified" matches that are
+        # contaminated sit in the 1-2px Sampson band where the 2px knee
+        # still gives them weight 0.25-1.0, and they own ~40% of the
+        # per-edge rotation bias (measured, scripts/exp_edge_bias.py:
+        # median 0.0457 deg as stored vs 0.0263 with contamination
+        # removed by GT identity; the annealed 1px knee recovers
+        # 0.0344, and tighter knees saturate while degrading clean
+        # pairs).  Wide basin first, sharp minimum second.
+        q, t = epipolar.refine_essential_manifold(
+            q, t, u1, u2, mk, th_k * 0.25
+        )
         n_good = jnp.where(ok, n_good, 0)
         # parallax: masked median of angle(R x1, x2) over the matches
         ones = jnp.ones(u1.shape[:-1] + (1,), u1.dtype)
