@@ -125,3 +125,36 @@ def test_sift_ab_vs_cv2():
     for name, rep_o, rep_c, vm_o, vm_c in rows:
         assert rep_o >= 0.9 * rep_c - 0.02, (name, rep_o, rep_c)
         assert vm_o >= 0.9 * vm_c - 3, (name, vm_o, vm_c)
+
+
+def test_orientation_consistency_under_rotation():
+    """Dominant orientation must track in-plane rotation with sub-degree
+    jitter (fast tier).
+
+    Regression guard for the r4 orientation-NN-tap bug: quantized
+    gradient samples jittered the dominant orientation with viewpoint,
+    rotating the descriptor grid — the repeatability/verified-matches
+    A/B above could NOT see it (detections were unchanged) while the
+    e2e arc-smoke ATE degraded 0.27% -> 2.15% (docs/benchmark.md "the
+    r4 SIFT quality regression").  Measured discrimination of this
+    metric: bilinear orientation taps 0.96 deg median jitter / -17.04
+    circular mean at a 17 deg warp; NN taps 4.01 deg jitter / -15.51
+    mean.  Gates at 2 deg jitter and 1 deg mean bias."""
+    from scipy.spatial import cKDTree
+
+    img, _ = make_texture(256, 256, seed=5, n_blobs=180)
+    img8 = (img * 255).astype(np.uint8)
+    ang = 17.0
+    img2, M = _warp(img8, angle_deg=ang)
+    k1, _d1 = _ours(img8)
+    k2, _d2 = _ours(img2)
+    warped = _apply_M(M, k1[:, :2])
+    d, j = cKDTree(k2[:, :2]).query(warped)
+    ok = d < 1.5
+    assert ok.sum() >= 80, f"only {ok.sum()} repeatable keypoints"
+    delta = np.angle(np.exp(1j * (k2[j[ok], 3] - k1[ok, 3])))
+    mu = np.angle(np.mean(np.exp(1j * delta)))
+    jitter = np.degrees(np.median(np.abs(np.angle(np.exp(1j * (delta - mu))))))
+    mean_err = abs(np.degrees(mu) + ang)  # y-down image coords: theta2 ~ theta1 - ang
+    assert jitter <= 2.0, f"orientation jitter {jitter:.2f} deg (NN-tap class bug?)"
+    assert mean_err <= 1.0, f"orientation mean off by {mean_err:.2f} deg"
