@@ -15,6 +15,7 @@ at O(pairs) bookkeeping only.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -42,6 +43,21 @@ class MatchingOptions:
     seq_loop_stride: int = 5
     # retrieval strategy (run_matching.cc:66-90)
     retrieval_topk: int = 25
+
+
+@functools.partial(jax.jit, static_argnames=("mm",))
+def _match_chunk_resident(descs, masks, idx, dist_th, ratio_th, mm: int):
+    """One dispatch per chunk on the single-device path: the pair gather
+    from the resident descriptor pool happens INSIDE the jit.  Doing
+    `descs[idx[:, 0]]` eagerly costs four separate device ops + an index
+    upload each per chunk (~13 ms/op of tunnel latency on this platform,
+    CLAUDE.md), which dominated the match phase: measured 135 ms/chunk
+    in-pipeline vs 28 ms for the identical fused kernel called with the
+    gather fused in."""
+    i1, i2 = idx[:, 0], idx[:, 1]
+    return dmatch.match_descriptors_batch(
+        descs[i1], descs[i2], masks[i1], masks[i2], dist_th, ratio_th, mm
+    )
 
 
 @jax.jit
@@ -160,19 +176,33 @@ def match_and_verify_pairs(
 
     # pass 1: descriptor matching — pairs batched into fixed-size chunks
     # (one fused-kernel dispatch and ONE host sync per chunk; per-pair
-    # dispatch + int(cnt) syncs dominated wall-clock before)
+    # dispatch + int(cnt) syncs dominated wall-clock before).  Chunks are
+    # DOUBLE-BUFFERED: chunk k+1 is dispatched (async) before chunk k's
+    # results are fetched, so the device+tunnel work on k+1 while the
+    # host harvests k — measured r5, the phase was ~50% serialized host
+    # bookkeeping between fetches (device compute is ~0.5 ms/chunk;
+    # 27.9 ms/chunk resident-pool round-trip).
     cand = []  # (i, j, matches [M,2], dists [M])
     mm = min(K, 4096)
     B = 16 * n_dev
-    for s in range(0, len(pair_ids), B):
+
+    def _dispatch_match(s):
         grp = list(pair_ids[s : s + B])
         pad = B - len(grp)
         idx = np.asarray(grp + [grp[-1]] * pad, np.int32)  # keep B static
-        m_np, c_np, d_np = jax.device_get(dmatch.match_descriptors_batch(
+        if shard is None:
+            # single-device: gather fused into ONE jitted dispatch
+            return grp, _match_chunk_resident(
+                descs_d, masks_d, idx, opts.dist_th, opts.ratio_th, mm
+            )
+        return grp, dmatch.match_descriptors_batch(
             put(descs_d[idx[:, 0]]), put(descs_d[idx[:, 1]]),
             put(masks_d[idx[:, 0]]), put(masks_d[idx[:, 1]]),
             opts.dist_th, opts.ratio_th, mm,
-        ))
+        )
+
+    def _harvest_match(grp, fut):
+        m_np, c_np, d_np = jax.device_get(fut)
         for k, (i, j) in enumerate(grp):
             n_m = int(c_np[k])
             if n_m < max(8, opts.min_inliers):
@@ -180,12 +210,21 @@ def match_and_verify_pairs(
             mnp = m_np[k]
             mnp = mnp[mnp[:, 0] >= 0][:n_m]
             cand.append((i, j, mnp, d_np[k][: len(mnp)]))
-        if verbose and ((s // B) % 16 == 0):
+
+    pending = None
+    for ci, s in enumerate(range(0, len(pair_ids), B)):
+        nxt = _dispatch_match(s)
+        if pending is not None:
+            _harvest_match(*pending)
+        pending = nxt
+        if verbose and (ci % 16 == 0):
             print(
                 f"[matching] matched {min(s + B, len(pair_ids))}"
                 f"/{len(pair_ids)}",
                 flush=True,
             )
+    if pending is not None:
+        _harvest_match(*pending)
 
     # pass 2: geometric verification, vmapped in bucket-grouped chunks
     by_bucket = {}
@@ -193,49 +232,61 @@ def match_and_verify_pairs(
         by_bucket.setdefault(bucket(len(mnp)), []).append(k)
     th = jnp.asarray(opts.f_ransac_px**2, jnp.float32)
     CHUNK = 16 * n_dev
-    for b, idxs in sorted(by_bucket.items()):
-        for s in range(0, len(idxs), CHUNK):
-            grp = idxs[s : s + CHUNK]
-            nb = len(grp)
-            x1 = np.zeros((CHUNK, b, 2), np.float32)
-            x2 = np.zeros((CHUNK, b, 2), np.float32)
-            vm = np.zeros((CHUNK, b), bool)
-            keys = np.zeros((CHUNK, 2), np.uint32)
-            for g, k in enumerate(grp):
-                i, j, mnp, _ = cand[k]
-                n_m = len(mnp)
-                x1[g, :n_m] = kps[i][mnp[:, 0]]
-                x2[g, :n_m] = kps[j][mnp[:, 1]]
-                vm[g, :n_m] = True
-                keys[g] = np.asarray(
-                    jax.random.PRNGKey((i * 32768 + j) & 0x7FFFFFFF)
-                )
-            # numpy args + one batched fetch (each eager transfer is a
-            # tunnel round-trip)
-            F_b, inl_b, n_inl_b, ok_b = jax.device_get(
-                _fundamental_ransac_batch(
-                    put(keys), put(x1), put(x2), put(vm), th
+
+    def _dispatch_verify(b, grp):
+        x1 = np.zeros((CHUNK, b, 2), np.float32)
+        x2 = np.zeros((CHUNK, b, 2), np.float32)
+        vm = np.zeros((CHUNK, b), bool)
+        keys = np.zeros((CHUNK, 2), np.uint32)
+        for g, k in enumerate(grp):
+            i, j, mnp, _ = cand[k]
+            n_m = len(mnp)
+            x1[g, :n_m] = kps[i][mnp[:, 0]]
+            x2[g, :n_m] = kps[j][mnp[:, 1]]
+            vm[g, :n_m] = True
+            keys[g] = np.asarray(
+                jax.random.PRNGKey((i * 32768 + j) & 0x7FFFFFFF)
+            )
+        # numpy args + one batched fetch (each eager transfer is a
+        # tunnel round-trip)
+        return grp, _fundamental_ransac_batch(
+            put(keys), put(x1), put(x2), put(vm), th
+        )
+
+    def _harvest_verify(grp, fut):
+        F_b, inl_b, n_inl_b, ok_b = jax.device_get(fut)
+        for g, k in enumerate(grp):
+            i, j, mnp, d = cand[k]
+            n_m = len(mnp)
+            n_inl = int(n_inl_b[g])
+            if not bool(ok_b[g]) or n_inl < max(
+                opts.min_inliers, int(opts.min_inlier_ratio * n_m)
+            ):
+                continue
+            out.append(
+                FramePairData(
+                    id1=i,
+                    id2=j,
+                    matches=mnp,
+                    distances=d.astype(np.float64),
+                    E=np.asarray(F_b[g], np.float64),
+                    inlier_num=n_inl,
+                    inlier_mask=inl_b[g][:n_m],
                 )
             )
-            for g, k in enumerate(grp):
-                i, j, mnp, d = cand[k]
-                n_m = len(mnp)
-                n_inl = int(n_inl_b[g])
-                if not bool(ok_b[g]) or n_inl < max(
-                    opts.min_inliers, int(opts.min_inlier_ratio * n_m)
-                ):
-                    continue
-                out.append(
-                    FramePairData(
-                        id1=i,
-                        id2=j,
-                        matches=mnp,
-                        distances=d.astype(np.float64),
-                        E=np.asarray(F_b[g], np.float64),
-                        inlier_num=n_inl,
-                        inlier_mask=inl_b[g][:n_m],
-                    )
-                )
+
+    # same double-buffering as pass 1 (note: chunks of DIFFERENT buckets
+    # overlap too — the pending future is harvested after the next
+    # bucket's first dispatch)
+    pending = None
+    for b, idxs in sorted(by_bucket.items()):
+        for s in range(0, len(idxs), CHUNK):
+            nxt = _dispatch_verify(b, idxs[s : s + CHUNK])
+            if pending is not None:
+                _harvest_verify(*pending)
+            pending = nxt
+    if pending is not None:
+        _harvest_verify(*pending)
     if verbose:
         print(
             f"[matching] verified {len(out)}/{len(cand)} candidate pairs",
